@@ -1,0 +1,226 @@
+"""Typed experiment configuration.
+
+The reference uses two config layers: per-run JSON loaded into an untyped
+``argparse.Namespace`` with scattered ``getattr`` defaults
+(train_wavenet.py:43-56, wavenet.py:105-111), plus compile-time module flags
+(parallel_wavenet.py:11-29, masked.py:25, train_wavenet.py:14).  Here both
+layers fold into typed dataclasses; ``from_json`` accepts the reference's
+JSON schema directly (config_jsons/*.json), so the five supported configs
+load unchanged.
+"""
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+# Piecewise-constant LR schedule {step: lr}, reference wavenet/wavenet.py:7-14.
+DEFAULT_LR_SCHEDULE = (
+    (0, 2e-4),
+    (90000, 4e-4 / 3),
+    (120000, 6e-5),
+    (150000, 4e-5),
+    (180000, 2e-5),
+    (210000, 6e-6),
+    (240000, 2e-6),
+)
+
+
+def _tupleize(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_tupleize(v) for v in x)
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class WavenetConfig:
+    """Teacher WaveNet hparams (reference wavenet/wavenet.py:97-135)."""
+
+    num_iters: int = 200000
+    wave_length: int = 7680
+    num_stages: int = 10
+    num_layers: int = 30
+    filter_length: int = 3
+    width: int = 512
+    skip_width: int = 256
+    deconv_width: int = 256
+    deconv_config: Tuple[Tuple[int, int], ...] = ((40, 10), (80, 20))
+    use_mu_law: bool = True
+    loss_type: str = "ce"  # ce | mol | gauss
+    mol_mix: int = 10
+    use_weight_norm: bool = False
+    double_gate_width: bool = True
+    use_resize_conv: bool = False
+    upsample_act: str = "tanh"
+    use_as_teacher: bool = False
+    dropout_inputs: bool = False
+    dropout_all: bool = False
+    dropout_rate: Optional[float] = None
+    lr_schedule: Tuple[Tuple[int, float], ...] = DEFAULT_LR_SCHEDULE
+    # --- framework-level knobs (module flags in the reference) ---
+    grad_clip: bool = False  # reference train_wavenet.py:14
+    compute_dtype: str = "bfloat16"  # MXU contraction dtype; f32 accumulation
+
+    def __post_init__(self):
+        assert not (self.dropout_inputs and self.dropout_all)
+        assert self.loss_type in ("ce", "mol", "gauss"), self.loss_type
+
+    @property
+    def quant_chann(self) -> int:
+        return 2**8 if self.use_mu_law else 2**16
+
+    @property
+    def out_width(self) -> int:
+        if self.loss_type == "ce":
+            return self.quant_chann
+        if self.loss_type == "mol":
+            return self.mol_mix * 3
+        return 2  # gauss
+
+    @property
+    def gate_width(self) -> int:
+        return 2 * self.width if self.double_gate_width else self.width
+
+    @property
+    def frame_shift(self) -> int:
+        out = 1
+        for _, s in self.deconv_config:
+            out *= s
+        return out
+
+    @property
+    def resolved_dropout_rate(self) -> float:
+        if self.dropout_rate is not None:
+            return self.dropout_rate
+        return 0.5 if self.dropout_inputs else 0.05
+
+    @property
+    def max_dilation(self) -> int:
+        return 2 ** (self.num_stages - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelWavenetConfig:
+    """IAF student hparams (reference wavenet/parallel_wavenet.py:118-154)
+    plus the module flags from parallel_wavenet.py:11-29."""
+
+    num_iters: int = 400000
+    wave_length: int = 7680
+    num_stages: int = 10
+    num_iaf_layers: Tuple[int, ...] = (10, 10, 10, 30)
+    filter_length: int = 3
+    width: int = 64
+    deconv_width: int = 256
+    deconv_config: Tuple[Tuple[int, int], ...] = ((40, 10), (80, 20))
+    use_mu_law: bool = False
+    loss_type: str = "logistic"  # logistic | gauss
+    use_weight_norm: bool = False
+    use_resize_conv: bool = False
+    use_share_deconv: bool = False
+    use_teacher_deconv: bool = False
+    upsample_act: str = "tanh"
+    num_samples: int = 100
+    power_loss_factor: float = 0.0
+    contrastive_loss_factor: float = 0.0
+    lr_schedule: Tuple[Tuple[int, float], ...] = DEFAULT_LR_SCHEDULE
+    # --- module flags folded in (reference parallel_wavenet.py:11-29) ---
+    manual_final_init: bool = True
+    use_log_scale: bool = False
+    clip: bool = False
+    norm_feat: bool = False
+    use_priority_freq: bool = True
+    use_l1_loss: bool = False
+    spec_enhance_factor: int = 1  # 0 log | 1 abs | 2 pow | 3 combine
+    use_mel: bool = False
+    # --- framework-level knobs ---
+    grad_clip: bool = False
+    compute_dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        assert not (self.use_share_deconv and self.use_teacher_deconv)
+        assert self.loss_type in ("logistic", "gauss"), self.loss_type
+
+    @property
+    def quant_chann(self) -> int:
+        return 2**8 if self.use_mu_law else 2**16
+
+    @property
+    def out_width(self) -> int:
+        return 2  # mean, scale
+
+    @property
+    def gate_width(self) -> int:
+        # IAF flows never double the gate width (parallel_wavenet.py:209)
+        return self.width
+
+    @property
+    def frame_shift(self) -> int:
+        out = 1
+        for _, s in self.deconv_config:
+            out *= s
+        return out
+
+    @property
+    def max_dilation(self) -> int:
+        return 2 ** (self.num_stages - 1)
+
+    @property
+    def effective_use_priority_freq(self) -> bool:
+        # mutex with use_mel (reference parallel_wavenet.py:29)
+        return False if self.use_mel else self.use_priority_freq
+
+
+_WAVENET_FIELDS = {f.name for f in dataclasses.fields(WavenetConfig)}
+_PWN_FIELDS = {f.name for f in dataclasses.fields(ParallelWavenetConfig)}
+
+
+def _from_dict(cls, fields, d, **overrides):
+    known = {k: _tupleize(v) for k, v in d.items() if k in fields}
+    unknown = {k for k in d if k not in fields and k != "use_input_noise"}
+    if unknown:
+        raise ValueError(f"Unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    known.update(overrides)
+    return cls(**known)
+
+
+def wavenet_config_from_dict(d: dict, **overrides) -> WavenetConfig:
+    return _from_dict(WavenetConfig, _WAVENET_FIELDS, d, **overrides)
+
+
+def pwn_config_from_dict(d: dict, **overrides) -> ParallelWavenetConfig:
+    return _from_dict(ParallelWavenetConfig, _PWN_FIELDS, d, **overrides)
+
+
+def load_config(path: str, **overrides):
+    """Load a reference-schema JSON config; dispatch on ``num_iaf_layers``."""
+    with open(path, "rt") as f:
+        d = json.load(f)
+    if "num_iaf_layers" in d:
+        return pwn_config_from_dict(d, **overrides)
+    return wavenet_config_from_dict(d, **overrides)
+
+
+def config_to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
+    """Run-directory slug encoding the key hparams (the reference encodes
+    hparams + flags + git branch, auxilaries/config_str.py:9-116)."""
+    parts = [model_tag]
+    parts.append("mu" if cfg.use_mu_law else "raw")
+    parts.append(cfg.loss_type)
+    if getattr(cfg, "use_weight_norm", False):
+        parts.append("wn")
+    if getattr(cfg, "use_resize_conv", False):
+        parts.append("rc")
+    if getattr(cfg, "use_share_deconv", False):
+        parts.append("sd")
+    if getattr(cfg, "use_teacher_deconv", False):
+        parts.append("td")
+    if getattr(cfg, "power_loss_factor", 0.0):
+        parts.append(f"pl{cfg.power_loss_factor:g}")
+    if getattr(cfg, "contrastive_loss_factor", 0.0):
+        parts.append(f"cl{cfg.contrastive_loss_factor:g}")
+    if exp_tag:
+        parts.append(exp_tag)
+    return "-".join(parts)
