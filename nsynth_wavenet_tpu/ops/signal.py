@@ -62,6 +62,9 @@ def encode_signal(wav, *, use_mu_law: bool, quant_chann: int):
         x_scaled = wav
         real_targets = wav
         cate_targets = x_quantized + half
+    # Audio is contractually in [-1, 1); clamp so a stray out-of-range sample
+    # yields the edge class instead of a silent out-of-bounds gather (NaN CE).
+    cate_targets = jnp.clip(cate_targets, 0, quant_chann - 1)
     return {
         "wav_scaled": x_scaled,
         "real_targets": real_targets,

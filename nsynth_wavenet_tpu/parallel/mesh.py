@@ -1,0 +1,119 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's in-graph clone replication (deployment/
+model_deploy.py: one variable-reusing copy of the graph per GPU, gradients
+hopped to CPU and tf.add_n-summed, model_deploy.py:414-449) with SPMD over a
+``jax.sharding.Mesh``:
+
+  * axis ``data``  — batch sharding; gradient psum inserted by XLA over ICI.
+  * axis ``model`` — optional channel tensor parallelism for the wide
+    (512/1024-channel) teacher convs: Megatron-style column-parallel on the
+    gate producing convs, row-parallel on the res/skip 1x1s.
+
+Parameters are placed with NamedShardings at init; ``jax.jit`` then
+propagates layouts through the train step, so there is no separate
+"deployment" wrapper — the step function is the deployment.
+"""
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh.  Defaults: all devices on 'data'."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate_tree(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.device_put(tree, jax.tree_util.tree_map(lambda _: rep, tree))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel layout rules for the teacher WaveNet parameter tree
+# ---------------------------------------------------------------------------
+
+# path-pattern -> PartitionSpec for kernels ('w'/'v') and biases ('b'/'g').
+# Column parallel: dilated + mel_cond convs shard the gate_width output axis.
+# Row parallel: res/skip 1x1s shard their gate-half input axis (XLA inserts
+# the psum).  Everything else (starts, heads, deconv) is replicated.
+_TP_KERNEL_RULES = (
+    (re.compile(r"\['layers'\]\[\d+\]\['(dilated|mel_cond)'\]"), P(None, None, MODEL_AXIS)),
+    (re.compile(r"\['layers'\]\[\d+\]\['(res|skip)'\]"), P(None, MODEL_AXIS, None)),
+)
+_TP_BIAS_RULES = (
+    (re.compile(r"\['layers'\]\[\d+\]\['(dilated|mel_cond)'\]"), P(MODEL_AXIS)),
+)
+
+
+def teacher_tp_spec(path) -> P:
+    """PartitionSpec for one teacher-param leaf identified by its tree path."""
+    path_str = jax.tree_util.keystr(path)
+    leaf_name = path[-1].key if hasattr(path[-1], "key") else None
+    if leaf_name in ("w", "v"):
+        for pat, spec in _TP_KERNEL_RULES:
+            if pat.search(path_str):
+                return spec
+    elif leaf_name in ("b", "g"):
+        for pat, spec in _TP_BIAS_RULES:
+            if pat.search(path_str):
+                return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh, spec_fn=teacher_tp_spec):
+    """Place a parameter pytree on the mesh according to spec_fn(path)."""
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, spec_fn(path)), params
+    )
+    return jax.device_put(params, shardings)
+
+
+def shard_train_state(state, mesh: Mesh, spec_fn=teacher_tp_spec):
+    """Place a full train state: params/ema (and the Adam mu/nu mirrors, which
+    share the param tree structure) follow spec_fn; scalars replicated."""
+    placed = dict(state)
+    placed["params"] = shard_params(state["params"], mesh, spec_fn)
+    placed["ema"] = shard_params(state["ema"], mesh, spec_fn)
+
+    # optax ScaleByAdamState holds mu/nu mirroring the params' tree structure;
+    # their paths don't match the rules' prefixes, so walk the chain manually.
+    import optax  # local import to keep jax-only deps at module top
+
+    new_opt = []
+    for part in state["opt_state"]:
+        if isinstance(part, optax.ScaleByAdamState):
+            new_opt.append(
+                optax.ScaleByAdamState(
+                    count=jax.device_put(part.count, replicated(mesh)),
+                    mu=shard_params(part.mu, mesh, spec_fn),
+                    nu=shard_params(part.nu, mesh, spec_fn),
+                )
+            )
+        else:
+            new_opt.append(replicate_tree(part, mesh))
+    placed["opt_state"] = tuple(new_opt)
+    placed["step"] = jax.device_put(state["step"], replicated(mesh))
+    return placed
