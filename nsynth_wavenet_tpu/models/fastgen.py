@@ -1,0 +1,227 @@
+"""Device-resident autoregressive WaveNet synthesis ("fastgen").
+
+The reference's Fast-WaveNet sampler keeps per-layer FIFO queues in the TF
+runtime and drives ONE session.run plus TWO host<->device transfers per audio
+sample — 16,000 round trips per generated second (reference
+wavenet/fastgen.py:156-168, wavenet/wavenet.py:318-514, masked.py:328-405).
+
+TPU-native redesign: the entire utterance is ONE XLA program.
+
+  * The queue pair of ``causal_linear`` (states at t-d and t-2d,
+    masked.py:352-359) becomes a per-layer **ring buffer** of length
+    2*dilation carried through ``lax.scan``.  Slot (t mod 2d) is read
+    (yielding the t-2d state) and then overwritten with the t state; slot
+    ((t-d) mod 2d) yields the t-d state.  Zero-initialized buffers reproduce
+    the reference's zero-filled queue init (fastgen.py:150).
+  * Mel conditioning projections for every layer are precomputed for the
+    whole utterance as big MXU matmuls before the scan (the reference has an
+    equivalent but unused precompute path, fastgen.py:91-115); the scan body
+    just gathers one timestep.
+  * Sampling (CE / MoL / Gauss) happens inside the scan body with a folded
+    PRNG key; the int sample is decoded (inverse mu-law / dequantize) on
+    device and fed back — nothing touches the host until the full waveform
+    is done.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nsynth_wavenet_tpu.models.wavenet import Wavenet
+from nsynth_wavenet_tpu.ops import conv as conv_ops
+from nsynth_wavenet_tpu.ops import distributions as dist
+from nsynth_wavenet_tpu.ops import signal as sig
+from nsynth_wavenet_tpu.ops import stft as stft_ops
+
+
+def _step_weights(params):
+    """Flatten conv params into per-step matmul weights (resolve weight norm).
+
+    Kernel [3, in, out] -> stacked [3*in, out] so each scan step does one
+    matmul against the concatenated (t-2d, t-d, t) states.
+    """
+
+    def mat(p):
+        w = conv_ops.effective_kernel(p)  # [fl, in, out]
+        fl, cin, cout = w.shape
+        return w.reshape(fl * cin, cout), p["b"]
+
+    out = {
+        "conv_start": mat(params["conv_start"]),
+        "skip_start": mat(params["skip_start"]),
+        "out1": mat(params["out1"]),
+        "out2": mat(params["out2"]),
+        "layers": [],
+    }
+    for lp in params["layers"]:
+        out["layers"].append(
+            {
+                "dilated": mat(lp["dilated"]),
+                "res": mat(lp["res"]),
+                "skip": mat(lp["skip"]),
+            }
+        )
+    return out
+
+
+class Fastgen:
+    """AR sampler sharing the teacher's param tree (reference class Fastgen,
+    wavenet/wavenet.py:318-514)."""
+
+    def __init__(self, model: Wavenet):
+        self.model = model
+        self.cfg = model.cfg
+
+    def precompute_conditioning(self, params, mel):
+        """mel [B, T, num_mel] -> per-layer conditioning for every timestep.
+
+        Returns (encoding [B, Te, dw], cond [num_layers, B, Te, gw],
+        cond_out1 [B, Te, skip_width]).
+        """
+        encoding, _ = self.model.deconv_stack(params, mel)
+        dtype = self.model.dtype
+        conds = [
+            conv_ops.conv1d(lp["mel_cond"], encoding, dtype=dtype)
+            for lp in params["layers"]
+        ]
+        cond_out1 = conv_ops.conv1d(params["mel_cond_out1"], encoding, dtype=dtype)
+        return encoding, jnp.stack(conds, axis=0), cond_out1
+
+    def generate(
+        self,
+        params,
+        mel,
+        rng,
+        length: Optional[int] = None,
+        *,
+        teacher_force: Optional[jnp.ndarray] = None,
+        cond_offset: int = 0,
+        collect_out_params: bool = False,
+    ):
+        """Synthesize audio for a mel batch.  Returns float wav [B, L]
+        (or (wav, out_params) when collect_out_params).
+
+        length defaults to the upsampled encoding length (the reference
+        synthesizes one sample per encoding frame, eval_wavenet.py:55-60).
+
+        teacher_force [B, L]: feed ground-truth samples back instead of the
+        model's own (for testing step-network equivalence with training).
+        cond_offset: shift into the conditioning timeline — training
+        center-trims the (longer) encoding (wavenet.py:76-85); pass
+        (enc_len - L)//2 to reproduce that alignment.
+        """
+        cfg = self.cfg
+        _, conds, cond_out1 = self.precompute_conditioning(params, mel)
+        B = mel.shape[0]
+        L = (conds.shape[2] - cond_offset) if length is None else length
+        assert L + cond_offset <= conds.shape[2], (L, cond_offset, conds.shape[2])
+
+        sw = _step_weights(params)
+        num_layers = cfg.num_layers
+        width = cfg.width
+        gate_width = cfg.gate_width
+        m = gate_width // 2
+        half = cfg.quant_chann // 2
+
+        # ring buffers: input taps for conv_start over the scalar wav input,
+        # and per-layer taps over the residual activations l.
+        buffers = {
+            "x": jnp.zeros((B, 2, 1), jnp.float32),
+            "layers": [
+                jnp.zeros((B, 2 * 2 ** (i % cfg.num_stages), width), jnp.float32)
+                for i in range(num_layers)
+            ],
+        }
+
+        def read_write(buf, t, dilation, new_val):
+            """Read states at t-2d and t-d, then write new_val at slot t mod 2d.
+
+            buf: [B, 2d, C]; new_val: [B, C].  Returns (s2d, sd, new_buf).
+            """
+            size = 2 * dilation
+            slot_w = jnp.mod(t, size)
+            slot_1 = jnp.mod(t - dilation, size)
+            s2d = jax.lax.dynamic_slice_in_dim(buf, slot_w, 1, axis=1)[:, 0]
+            sd = jax.lax.dynamic_slice_in_dim(buf, slot_1, 1, axis=1)[:, 0]
+            new_buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, new_val[:, None, :], slot_w, axis=1
+            )
+            return s2d, sd, new_buf
+
+        def step(carry, t):
+            bufs, prev_sample, key = carry
+            key, sample_key = jax.random.split(key)
+
+            if teacher_force is not None:
+                prev_sample = jnp.where(
+                    t == 0,
+                    jnp.zeros((B,), jnp.float32),
+                    teacher_force[:, jnp.maximum(t - 1, 0)],
+                )
+
+            # scale the fed-back sample like the training input
+            # (reference wavenet.py:411-418)
+            if cfg.use_mu_law:
+                x_scaled = sig.mu_law(prev_sample) / float(half)
+            else:
+                x_scaled = prev_sample
+            x_in = x_scaled[:, None]  # [B, 1]
+
+            s2d, sd, new_xbuf = read_write(bufs["x"], t, 1, x_in)
+            stack = jnp.concatenate([s2d, sd, x_in], axis=1)  # [B, 3]
+            l = stack @ sw["conv_start"][0] + sw["conv_start"][1]  # [B, width]
+
+            s = l @ sw["skip_start"][0] + sw["skip_start"][1]  # [B, skip]
+
+            new_lbufs = []
+            for i in range(num_layers):
+                dilation = 2 ** (i % cfg.num_stages)
+                s2d, sd, nb = read_write(bufs["layers"][i], t, dilation, l)
+                new_lbufs.append(nb)
+                stack = jnp.concatenate([s2d, sd, l], axis=1)  # [B, 3*width]
+                lw = sw["layers"][i]
+                d = stack @ lw["dilated"][0] + lw["dilated"][1]  # [B, gw]
+                d = d + conds[i, :, t + cond_offset, :]
+                d = jax.nn.sigmoid(d[:, :m]) * jnp.tanh(d[:, m:])
+                l = l + (d @ lw["res"][0] + lw["res"][1])
+                s = s + (d @ lw["skip"][0] + lw["skip"][1])
+
+            s = jax.nn.relu(s)
+            s = (s @ sw["out1"][0] + sw["out1"][1]) + cond_out1[:, t + cond_offset, :]
+            s = jax.nn.relu(s)
+            out = s @ sw["out2"][0] + sw["out2"][1]  # [B, out_width]
+
+            if cfg.loss_type == "ce":
+                q = dist.ce_sample(sample_key, out, cfg.quant_chann)
+            elif cfg.loss_type == "mol":
+                q = dist.mol_sample(sample_key, out, cfg.quant_chann)
+            else:
+                q = dist.gauss_sample(sample_key, out, cfg.quant_chann)
+
+            if cfg.use_mu_law:
+                audio = sig.inv_mu_law(q)
+            else:
+                audio = sig.inv_cast_quantize(q, cfg.quant_chann)
+
+            new_carry = ({"x": new_xbuf, "layers": new_lbufs}, audio, key)
+            emit = (audio, out) if collect_out_params else audio
+            return new_carry, emit
+
+        init = (buffers, jnp.zeros((B,), jnp.float32), rng)
+        _, emitted = jax.lax.scan(step, init, jnp.arange(L))
+        if collect_out_params:
+            audio, outs = emitted
+            return jnp.transpose(audio), jnp.transpose(outs, (1, 0, 2))
+        return jnp.transpose(emitted)  # [L, B] -> [B, L]
+
+    def generate_from_wav(self, params, wav, rng):
+        """Host-free end-to-end: raw wav batch -> mel -> synthesis (the
+        reference's eval path computes mel with librosa on host first)."""
+        mel = stft_ops.melspectrogram(wav)
+        return self.generate(params, mel, rng)
+
+
+def jit_generate(fastgen: Fastgen):
+    """Jitted synthesis: one compiled XLA program per (batch, length)."""
+    return jax.jit(fastgen.generate)
