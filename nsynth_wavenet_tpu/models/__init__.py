@@ -1,1 +1,6 @@
-from nsynth_wavenet_tpu.models import wavenet  # noqa: F401
+from nsynth_wavenet_tpu.models import (  # noqa: F401
+    fastgen,
+    parallel_wavenet,
+    parallelgen,
+    wavenet,
+)

@@ -83,6 +83,101 @@ def jit_train_step(step_fn, batch_sharding=None, donate_state: Optional[bool] = 
     )
 
 
+def student_param_labels(pwn_cfg, params):
+    """'train' / 'freeze' label tree for the student optimizer.
+
+    With use_teacher_deconv the shared stack stays at the teacher's weights
+    and is excluded from updates (reference parallel_wavenet.py:166-170,
+    train_parallel_wavenet.py:171-172) — the pytree-structural equivalent of
+    the reference's 'iaf'-name-substring filtering.
+    """
+    freeze_share = pwn_cfg.use_teacher_deconv
+
+    def label(path, _):
+        if freeze_share and path and getattr(path[0], "key", None) == "deconv_share":
+            return "freeze"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_student_optimizer(pwn_cfg, params):
+    import optax as _optax
+
+    inner = opt_lib.make_optimizer(pwn_cfg.lr_schedule, grad_clip=pwn_cfg.grad_clip)
+    labels = student_param_labels(pwn_cfg, params)
+    return _optax.multi_transform(
+        {"train": inner, "freeze": _optax.set_to_zero()}, labels
+    )
+
+
+def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None):
+    """Student distillation step: one XLA program containing base-noise
+    sampling, N IAF flows, the frozen teacher's scoring forward, both STFTs
+    of the power loss, and the optimizer update (reference splits this
+    across clones + CPU grad summation, SURVEY.md §3.2).
+
+    step_fn(state, wav, wav_rand, rng) -> (new_state, metrics);
+    wav_rand feeds the contrastive loss's mismatched mel (pass wav again if
+    contrastive_loss_factor == 0).
+    """
+    cfg = pwn.cfg
+    lr_fn = opt_lib.piecewise_constant_lr(cfg.lr_schedule)
+    use_cl = cfg.loss_type == "logistic" and cfg.contrastive_loss_factor > 0.0
+
+    def step_fn(state, wav, wav_rand, rng):
+        step = state["step"]
+        rng = jax.random.fold_in(rng, step)
+        rng_noise, rng_loss = jax.random.split(rng)
+        mel = stft_ops.melspectrogram(wav)
+
+        def loss_fn(p):
+            ff, _ = pwn.feed_forward(p, {"mel": mel}, rng_noise)
+            ff["mel"] = mel
+            ff["wav"] = wav
+            if use_cl:
+                ff["mel_rand"] = stft_ops.melspectrogram(wav_rand)
+            ld = pwn.calculate_loss(teacher_params, ff, rng_loss, norm_stats)
+            # DETAIL_LOG statistic set (reference parallel_wavenet.py:332-339)
+            new_x = ff["x"]
+            ld["new_x"] = jnp.mean(new_x)
+            ld["new_x_std"] = jnp.std(new_x)
+            ld["new_x_abs"] = jnp.mean(jnp.abs(new_x))
+            ld["new_x_abs_std"] = jnp.std(jnp.abs(new_x))
+            ld["mean_tot"] = jnp.mean(ff["mean_tot"])
+            ld["scale_tot"] = jnp.mean(ff["scale_tot"])
+            ld["log_scale_tot"] = jnp.mean(ff["log_scale_tot"])
+            return ld["loss"], ld
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, new_opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_ema = opt_lib.ema_update(state["ema"], new_params, step)
+        new_state = {
+            "params": new_params,
+            "opt_state": new_opt_state,
+            "ema": new_ema,
+            "step": step + 1,
+        }
+        metrics["learning_rate"] = lr_fn(step)
+        return new_state, metrics
+
+    return step_fn
+
+
+def jit_pwn_train_step(step_fn, batch_sharding=None, donate_state: Optional[bool] = None):
+    if donate_state is None:
+        donate_state = jax.default_backend() != "cpu"
+    in_shardings = None
+    if batch_sharding is not None:
+        in_shardings = (None, batch_sharding, batch_sharding, None)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
 def run_data_dep_init(model, params, wav, mel, dropout_rng: Optional[jax.Array] = None):
     """Jitted data-dependent init pass; returns (out_params stats, new params).
 
