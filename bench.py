@@ -1,0 +1,95 @@
+"""Benchmark harness.
+
+Headline metric: **fastgen AR synthesis throughput** in generated
+audio-seconds per wall-second per chip on the full-size MoL teacher — the
+component the reference bottlenecks hardest (1 session.run + 2 host
+transfers per audio sample, reference wavenet/fastgen.py:156-168; ~16,000
+host round trips per generated second).  Here the whole utterance is one
+XLA program, so the number measures the hardware, not the Python loop.
+
+vs_baseline is the real-time factor (1.0 == real-time 16 kHz synthesis),
+the unit the reference's own "Delay" metric implies
+(wavenet/parallelgen.py:46-50: delay = wall / audio-sec; we report 1/delay).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.ops import stft
+
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol",
+        use_mu_law=False,
+        double_gate_width=False,
+        upsample_act="leaky_relu",
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    fg = Fastgen(model)
+
+    sr = 16000
+    batch = 4
+    seconds = 1.0
+    length = int(sr * seconds)
+    rng = np.random.RandomState(0)
+    t = np.arange(length) / sr
+    wav = np.clip(
+        0.3 * np.sin(2 * np.pi * 150 * t)[None] + 0.01 * rng.randn(batch, length),
+        -0.99,
+        0.99,
+    ).astype(np.float32)
+    mel = np.asarray(stft.melspectrogram(wav))
+    gen_len = (mel.shape[1] - 1) * 200  # trim partial last frame
+
+    gen = jax.jit(lambda p, m, k: fg.generate(p, m, k, length=gen_len))
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    out = jax.block_until_ready(gen(params, mel, key))
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    runs = 3
+    t0 = time.time()
+    for i in range(runs):
+        out = jax.block_until_ready(gen(params, mel, jax.random.PRNGKey(i)))
+    dt = (time.time() - t0) / runs
+
+    audio_sec = batch * gen_len / sr
+    audio_sec_per_s = audio_sec / dt
+    samples_per_s = batch * gen_len / dt
+    print(
+        f"fastgen: {gen_len} samples x{batch} in {dt:.3f}s "
+        f"({samples_per_s:,.0f} samples/s, batch-1 step latency "
+        f"{dt / gen_len * 1e6:.1f}us)",
+        file=sys.stderr,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "fastgen_ar_synthesis_throughput",
+                "value": round(audio_sec_per_s, 4),
+                "unit": "audio_sec/s/chip",
+                "vs_baseline": round(audio_sec_per_s / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

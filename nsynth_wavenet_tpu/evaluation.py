@@ -1,0 +1,162 @@
+"""Batch synthesis drivers shared by the eval CLIs
+(reference eval_wavenet.py / eval_parallel_wavenet.py / wavenet/fastgen.py
+load_batch + save_batch)."""
+
+import glob
+import os
+import time
+
+import numpy as np
+
+from nsynth_wavenet_tpu import config as config_lib
+from nsynth_wavenet_tpu.data import dataset as data_lib
+from nsynth_wavenet_tpu.utils import logging_utils
+
+log = logging_utils.get_logger()
+
+
+def discover_files(source_path: str):
+    """source_path: a .wav/.npy file or a directory of them
+    (reference eval_wavenet.py:33-44)."""
+    if os.path.isdir(source_path):
+        files = sorted(
+            glob.glob(os.path.join(source_path, "*.wav"))
+            + glob.glob(os.path.join(source_path, "*.npy"))
+        )
+    else:
+        files = [source_path]
+    assert files, f"no .wav/.npy inputs under {source_path}"
+    return files
+
+
+def load_mel_batch(files, sample_length: int = 64000):
+    """Load wavs (or precomputed [T, num_mel] .npy mels), pad to the batch
+    max length, return the mel batch [B, T, num_mel]
+    (reference fastgen.py:17-52 + batch_melspectrogram)."""
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
+
+    is_npy = os.path.splitext(files[0])[1] == ".npy"
+    if is_npy:
+        mels = [np.load(f).astype(np.float32) for f in files]
+        max_t = max(m.shape[0] for m in mels)
+        out = np.zeros((len(mels), max_t, mels[0].shape[1]), np.float32)
+        for i, m in enumerate(mels):
+            out[i, : m.shape[0]] = m
+        return out
+    waves = []
+    for f in files:
+        wav, _ = data_lib.read_wav(f, expect_sr=16000)
+        waves.append(wav[:sample_length])
+    max_len = max(len(w) for w in waves)
+    batch = np.zeros((len(waves), max_len), np.float32)
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+    return np.asarray(stft_ops.melspectrogram(batch))
+
+
+def load_eval_model(ckpt_dir: str):
+    """Find the config json + checkpoint in a run dir; return
+    (cfg, ema_params) — eval always uses the EMA weights
+    (reference fastgen.py:81-84, parallelgen.py:29-41)."""
+    import jax
+
+    jsons = [
+        j
+        for j in glob.glob(os.path.join(ckpt_dir, "*.json"))
+        if not os.path.basename(j).startswith("norm_stats")
+    ]
+    assert len(jsons) == 1, f"expected one config json in {ckpt_dir}"
+    cfg = config_lib.load_config(jsons[0])
+
+    from nsynth_wavenet_tpu.training import checkpoint as ckpt_lib
+
+    if isinstance(cfg, config_lib.ParallelWavenetConfig):
+        from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+        model = ParallelWavenet(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+    else:
+        from nsynth_wavenet_tpu.models.wavenet import Wavenet
+
+        cfg = config_lib.load_config(jsons[0], use_as_teacher=True)
+        model = Wavenet(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+    ema_dir = os.path.join(ckpt_dir, "ema")
+    if os.path.isdir(ema_dir):
+        params = ckpt_lib.load_params(ema_dir, params)
+    else:
+        from nsynth_wavenet_tpu.training import optimizer as opt_lib
+        from nsynth_wavenet_tpu.training import train_lib
+
+        optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
+        template = train_lib.make_train_state(params, optimizer)
+        mgr = ckpt_lib.CheckpointManager(os.path.join(ckpt_dir, "ckpt"))
+        restored = mgr.restore(template)
+        mgr.close()
+        assert restored is not None, f"no checkpoint under {ckpt_dir}"
+        params = restored["ema"]
+    return model, params
+
+
+def generate_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
+    """AR teacher synthesis over a file batch (reference eval_wavenet.py)."""
+    import jax
+
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+
+    model, params = load_eval_model(ckpt_dir)
+    fg = Fastgen(model)
+    os.makedirs(save_path, exist_ok=True)
+    files = discover_files(source_path)
+    outputs = []
+    for i in range(0, len(files), batch_size):
+        chunk = files[i : i + batch_size]
+        mel = load_mel_batch(chunk)
+        t0 = time.time()
+        audio = np.asarray(
+            jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(seed + i))
+        )
+        dt = time.time() - t0
+        audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
+        log.info(
+            "fastgen batch of %d: %.2f audio-sec in %.2fs (Delay %.3f)",
+            len(chunk), audio_sec, dt, dt / audio_sec,
+        )
+        for f, wav in zip(chunk, audio):
+            name = "gen_" + os.path.splitext(os.path.basename(f))[0] + ".wav"
+            out = os.path.join(save_path, name)
+            data_lib.write_wav(out, wav)
+            outputs.append(out)
+    return outputs
+
+
+def generate_parallel_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
+    """One-shot student synthesis with the Delay metric
+    (reference eval_parallel_wavenet.py + parallelgen.py:43-50)."""
+    import jax
+
+    from nsynth_wavenet_tpu.models import parallelgen
+
+    model, params = load_eval_model(ckpt_dir)
+    os.makedirs(save_path, exist_ok=True)
+    files = discover_files(source_path)
+    synth = parallelgen.jit_synthesize(model)
+    outputs = []
+    for i in range(0, len(files), batch_size):
+        chunk = files[i : i + batch_size]
+        mel = load_mel_batch(chunk)
+        t0 = time.time()
+        audio = np.asarray(synth(params, mel, jax.random.PRNGKey(seed + i)))
+        dt = time.time() - t0
+        audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
+        log.info(
+            "parallelgen batch of %d: %.2f audio-sec in %.2fs (Delay %.3f)",
+            len(chunk), audio_sec, dt, dt / audio_sec,
+        )
+        for f, wav in zip(chunk, audio):
+            name = "gen_" + os.path.splitext(os.path.basename(f))[0] + ".wav"
+            out = os.path.join(save_path, name)
+            data_lib.write_wav(out, wav)
+            outputs.append(out)
+    return outputs

@@ -1,0 +1,308 @@
+"""End-to-end training runners for teacher and student.
+
+Replaces the reference's slim Supervisor scaffolding (train_wavenet.py:34-179,
+train_parallel_wavenet.py:17-227) with: run-dir resolution (new run under
+--log_root with a config slug, or resume from --logdir), data-dependent init,
+teacher restore from EMA weights, deconv transplant, SPMD-jitted steps over
+the device mesh, Orbax checkpointing, and TensorBoard metrics.
+"""
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from nsynth_wavenet_tpu import config as config_lib
+from nsynth_wavenet_tpu.data import dataset as data_lib
+from nsynth_wavenet_tpu.utils import logging_utils
+
+LOG_EVERY = 100
+
+
+def resolve_run_dir(log_root: str, logdir: str, config_path: str, model_tag: str):
+    """New run: create log_root/<slug>-<time> and copy the config json.
+    Resume: read the json already inside logdir (reference
+    train_wavenet.py:41-62)."""
+    if log_root:
+        if not config_path:
+            raise RuntimeError("No config json specified.")
+        cfg = config_lib.load_config(config_path)
+        slug = config_lib.config_slug(cfg, model_tag)
+        stamp = time.strftime("%m%d_%H%M%S")
+        run_dir = os.path.join(log_root, f"{slug}-{stamp}")
+        os.makedirs(run_dir, exist_ok=True)
+        shutil.copy(config_path, run_dir)
+        resumed = False
+    else:
+        run_dir = logdir
+        jsons = glob.glob(os.path.join(run_dir, "*.json"))
+        jsons = [j for j in jsons if not os.path.basename(j).startswith("norm_stats")]
+        assert len(jsons) == 1, f"expected exactly one config json in {run_dir}: {jsons}"
+        cfg = config_lib.load_config(jsons[0])
+        resumed = True
+    return run_dir, cfg, resumed
+
+
+def _init_logging(log, array, name):
+    array = np.asarray(array)
+    log.info(
+        "initial %s.m %.5f, %s.std %.5f, %s.min %.5f, %s.max %.5f",
+        name, array.mean(), name, array.std(), name, array.min(), name, array.max(),
+    )
+
+
+def _log_teacher_init_stats(log, loss_type, out_params):
+    """Reference train_wavenet.py:84-100."""
+    out = np.asarray(out_params)
+    if loss_type == "mol":
+        _, mean, log_scale = np.split(out, 3, axis=2)
+        _init_logging(log, mean, "mean")
+        _init_logging(log, np.exp(np.maximum(log_scale, -7.0)), "scale")
+    elif loss_type == "gauss":
+        mean, log_std = np.split(out, 2, axis=2)
+        _init_logging(log, mean, "mean")
+        _init_logging(log, np.exp(np.maximum(log_std, -7.0)), "std")
+
+
+def train_wavenet(
+    train_path: str,
+    config_path: str = "",
+    log_root: str = "",
+    logdir: str = "/tmp/nsynth_wavenet_tpu",
+    total_batch_size: int = 4,
+    num_steps: int = None,
+    ckpt_every_steps: int = 2000,
+    seed: int = 0,
+):
+    """Teacher training (reference train_wavenet.py)."""
+    import jax
+
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+    from nsynth_wavenet_tpu.training import checkpoint as ckpt_lib
+    from nsynth_wavenet_tpu.training import optimizer as opt_lib
+    from nsynth_wavenet_tpu.training import train_lib
+
+    run_dir, cfg, resumed = resolve_run_dir(log_root, logdir, config_path, "wavenet")
+    log = logging_utils.add_log_file(run_dir)
+    if resumed:
+        log.info("Continue running in %s", run_dir)
+    log.info("\n%s", logging_utils.config_summary(cfg))
+
+    model = Wavenet(cfg)
+    ds = data_lib.Dataset(
+        train_path, process_index=jax.process_index(), process_count=jax.process_count()
+    )
+
+    params = model.init_params(jax.random.PRNGKey(seed))
+    if cfg.use_weight_norm:
+        log.info("Calculate initial statistics (data-dependent init).")
+        init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        init_mel = np.asarray(stft_ops.melspectrogram(init_wav))
+        out_params, params = train_lib.run_data_dep_init(
+            model, params, init_wav, init_mel, dropout_rng=jax.random.PRNGKey(seed + 1)
+        )
+        _log_teacher_init_stats(log, cfg.loss_type, out_params)
+
+    optimizer = opt_lib.make_optimizer(cfg.lr_schedule, grad_clip=cfg.grad_clip)
+    state = train_lib.make_train_state(params, optimizer)
+
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.shard_train_state(state, mesh)
+    bs = mesh_lib.batch_sharding(mesh)
+
+    mgr = ckpt_lib.CheckpointManager(os.path.join(run_dir, "ckpt"))
+    restored = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        log.info("Restored checkpoint at step %d", int(jax.device_get(state["step"])))
+
+    step_fn = train_lib.jit_train_step(
+        train_lib.make_wavenet_train_step(model, optimizer), bs
+    )
+
+    writer = logging_utils.MetricsWriter(run_dir)
+    it = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed)
+    rng = jax.random.PRNGKey(seed + 2)
+    target = num_steps if num_steps is not None else cfg.num_iters
+    step = int(jax.device_get(state["step"]))
+    t_last, s_last = time.time(), step
+    try:
+        while step < target:
+            wav = jax.device_put(next(it), bs)
+            state, metrics = step_fn(state, wav, rng)
+            step += 1
+            if step % LOG_EVERY == 0 or step == target:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.time()
+                sps = (step - s_last) / max(now - t_last, 1e-9)
+                t_last, s_last = now, step
+                m["steps_per_sec"] = sps
+                m["utterances_per_sec"] = sps * total_batch_size
+                writer.write(step, m)
+                log.info(
+                    "step %d loss %.4f lr %.2e (%.2f steps/s)",
+                    step, m["loss"], m["learning_rate"], sps,
+                )
+            if step % ckpt_every_steps == 0 or step == target:
+                mgr.save(step, jax.device_get(state))
+    finally:
+        it.close()
+        writer.close()
+        mgr.close()
+    return run_dir, state
+
+
+def load_teacher(teacher_dir: str):
+    """Discover the teacher's config + latest checkpoint and return
+    (teacher_model, ema_params) — the reference restores the teacher from its
+    EMA shadow variables (train_parallel_wavenet.py:26-38, 198-203)."""
+    import jax
+
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.training import checkpoint as ckpt_lib
+    from nsynth_wavenet_tpu.training import optimizer as opt_lib
+    from nsynth_wavenet_tpu.training import train_lib
+
+    jsons = [
+        j
+        for j in glob.glob(os.path.join(teacher_dir, "*.json"))
+        if not os.path.basename(j).startswith("norm_stats")
+    ]
+    assert len(jsons) == 1, f"expected one teacher config json in {teacher_dir}"
+    cfg = config_lib.load_config(jsons[0], use_as_teacher=True)
+    assert isinstance(cfg, config_lib.WavenetConfig)
+    model = Wavenet(cfg)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
+    template = train_lib.make_train_state(params, optimizer)
+    mgr = ckpt_lib.CheckpointManager(os.path.join(teacher_dir, "ckpt"))
+    restored = mgr.restore(template)
+    mgr.close()
+    assert restored is not None, f"no checkpoint under {teacher_dir}/ckpt"
+    return model, restored["ema"]
+
+
+def train_parallel_wavenet(
+    train_path: str,
+    teacher_dir: str,
+    config_path: str = "",
+    log_root: str = "",
+    logdir: str = "/tmp/nsynth_pwn_tpu",
+    total_batch_size: int = 4,
+    num_steps: int = None,
+    ckpt_every_steps: int = 2000,
+    seed: int = 0,
+):
+    """Student distillation training (reference train_parallel_wavenet.py)."""
+    import jax
+
+    from nsynth_wavenet_tpu.models.parallel_wavenet import (
+        ParallelWavenet,
+        transplant_teacher_deconv,
+    )
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+    from nsynth_wavenet_tpu.training import checkpoint as ckpt_lib
+    from nsynth_wavenet_tpu.training import train_lib
+
+    run_dir, cfg, resumed = resolve_run_dir(
+        log_root, logdir, config_path, "parallel_wavenet"
+    )
+    log = logging_utils.add_log_file(run_dir)
+    log.info("\n%s", logging_utils.config_summary(cfg))
+
+    teacher, te_params = load_teacher(teacher_dir)
+    log.info("teacher from %s\n%s", teacher_dir, logging_utils.config_summary(teacher.cfg))
+
+    pwn = ParallelWavenet(cfg, teacher)
+    ds = data_lib.Dataset(
+        train_path, process_index=jax.process_index(), process_count=jax.process_count()
+    )
+
+    # ordered init (reference train_parallel_wavenet.py:195-211):
+    # 1. teacher restore (above)  2. data-dependent init  3. deconv transplant
+    params = pwn.init_params(jax.random.PRNGKey(seed))
+    if cfg.use_weight_norm:
+        log.info("Calculate initial statistics (data-dependent init).")
+        init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        init_mel = np.asarray(stft_ops.melspectrogram(init_wav))
+
+        ff, params = jax.jit(
+            lambda p, m: pwn.feed_forward(p, {"mel": m}, jax.random.PRNGKey(seed + 1), init=True)
+        )(params, init_mel)
+        _init_logging(log, ff["x"], "new_x")
+        _init_logging(log, ff["mean_tot"], "mean")
+        _init_logging(log, ff["scale_tot"], "scale")
+    params = transplant_teacher_deconv(params, te_params)
+
+    # power-loss feature normalization stats, persisted per run so a resumed
+    # experiment reuses identical stats (reference parallel_wavenet.py:442-453)
+    norm_stats = None
+    if cfg.norm_feat:
+        stats_path = os.path.join(run_dir, "norm_stats.npz")
+        if os.path.exists(stats_path):
+            z = np.load(stats_path)
+            norm_stats = (z["mean"], z["std"])
+        else:
+            log.info("Calculating STFT feature mean/std for power-loss norm.")
+            mean, std = data_lib.spec_feat_mean_std(train_path, feat_fn=pwn.stft_feat)
+            np.savez(stats_path, mean=mean, std=std)
+            norm_stats = (mean, std)
+
+    optimizer = train_lib.make_student_optimizer(cfg, params)
+    state = train_lib.make_train_state(params, optimizer)
+
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.shard_train_state(state, mesh, spec_fn=lambda path: mesh_lib.P())
+    bs = mesh_lib.batch_sharding(mesh)
+    te_params = mesh_lib.replicate_tree(te_params, mesh)
+
+    mgr = ckpt_lib.CheckpointManager(os.path.join(run_dir, "ckpt"))
+    restored = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        log.info("Restored checkpoint at step %d", int(jax.device_get(state["step"])))
+
+    step_fn = train_lib.jit_pwn_train_step(
+        train_lib.make_pwn_train_step(pwn, te_params, optimizer, norm_stats), bs
+    )
+
+    writer = logging_utils.MetricsWriter(run_dir)
+    it = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed)
+    it_rand = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed + 12345)
+    rng = jax.random.PRNGKey(seed + 2)
+    target = num_steps if num_steps is not None else cfg.num_iters
+    step = int(jax.device_get(state["step"]))
+    t_last, s_last = time.time(), step
+    try:
+        while step < target:
+            wav = jax.device_put(next(it), bs)
+            wav_rand = jax.device_put(next(it_rand), bs)
+            state, metrics = step_fn(state, wav, wav_rand, rng)
+            step += 1
+            if step % LOG_EVERY == 0 or step == target:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.time()
+                sps = (step - s_last) / max(now - t_last, 1e-9)
+                t_last, s_last = now, step
+                m["steps_per_sec"] = sps
+                writer.write(step, m)
+                log.info(
+                    "step %d loss %.4f kl %.4f power %.4f (%.2f steps/s)",
+                    step, m["loss"], m.get("kl_loss", float("nan")),
+                    m.get("power_loss", float("nan")), sps,
+                )
+            if step % ckpt_every_steps == 0 or step == target:
+                mgr.save(step, jax.device_get(state))
+    finally:
+        it.close()
+        it_rand.close()
+        writer.close()
+        mgr.close()
+    return run_dir, state

@@ -1,0 +1,33 @@
+"""Parallel WaveNet student distillation CLI
+(reference train_parallel_wavenet.py)."""
+
+from argparse import ArgumentParser
+
+from nsynth_wavenet_tpu.training import runner
+
+if __name__ == "__main__":
+    parser = ArgumentParser()
+    parser.add_argument("--config", default="", help="Student config json")
+    parser.add_argument("--train_path", required=True, help="Dataset directory")
+    parser.add_argument("--teacher_dir", required=True,
+                        help="Run dir of the trained teacher (json + ckpt)")
+    parser.add_argument("--logdir", default="/tmp/nsynth_pwn_tpu",
+                        help="Existing run directory to resume")
+    parser.add_argument("--log_root", default="",
+                        help="Root for a new run directory")
+    parser.add_argument("--total_batch_size", default=4, type=int)
+    parser.add_argument("--num_steps", default=None, type=int)
+    parser.add_argument("--ckpt_every_steps", default=2000, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args()
+    runner.train_parallel_wavenet(
+        train_path=args.train_path,
+        teacher_dir=args.teacher_dir,
+        config_path=args.config,
+        log_root=args.log_root,
+        logdir=args.logdir,
+        total_batch_size=args.total_batch_size,
+        num_steps=args.num_steps,
+        ckpt_every_steps=args.ckpt_every_steps,
+        seed=args.seed,
+    )
