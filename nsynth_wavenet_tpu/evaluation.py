@@ -89,7 +89,10 @@ def load_eval_model(ckpt_dir: str):
         from nsynth_wavenet_tpu.training import optimizer as opt_lib
         from nsynth_wavenet_tpu.training import train_lib
 
-        optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
+        if isinstance(cfg, config_lib.ParallelWavenetConfig):
+            optimizer = train_lib.make_student_optimizer(cfg, params)
+        else:
+            optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
         template = train_lib.make_train_state(params, optimizer)
         mgr = ckpt_lib.CheckpointManager(os.path.join(ckpt_dir, "ckpt"))
         restored = mgr.restore(template)

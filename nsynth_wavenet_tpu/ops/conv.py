@@ -89,8 +89,29 @@ def effective_kernel(params) -> jnp.ndarray:
     return params["w"]
 
 
-def _cast(x, dtype):
-    return x if dtype is None else x.astype(dtype)
+def _conv(x, w, *, padding, rhs_dilation=(1,), lhs_dilation=(1,), dtype=None):
+    """conv_general_dilated with optional bf16 mixed precision.
+
+    With a low-precision dtype both operands are cast and the (bf16) result
+    cast back to f32 — the TPU MXU still accumulates bf16 operands in f32
+    internally.  (Casting only the output via preferred_element_type would
+    make the conv non-transposable under jax.grad: the f32 cotangent would
+    meet bf16 operands in the transpose conv.)
+    """
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=padding,
+        rhs_dilation=rhs_dilation,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=_DN,
+    )
+    if dtype is not None:
+        y = y.astype(jnp.float32)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -118,15 +139,7 @@ def conv1d(
     else:
         total = (fl - 1) * dilation
         padding = [(total // 2, total - total // 2)]
-    y = jax.lax.conv_general_dilated(
-        _cast(x, dtype),
-        _cast(w, dtype),
-        window_strides=(1,),
-        padding=padding,
-        rhs_dilation=(dilation,),
-        dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
+    y = _conv(x, w, padding=padding, rhs_dilation=(dilation,), dtype=dtype)
     return y + params["b"]
 
 
@@ -177,15 +190,7 @@ def trans_conv1d(
     fwd_pad_left = (fl - stride) // 2
     pl = fl - 1 - fwd_pad_left
     ph = stride - 1 + fwd_pad_left
-    y = jax.lax.conv_general_dilated(
-        _cast(x, dtype),
-        _cast(w, dtype),
-        window_strides=(1,),
-        padding=[(pl, ph)],
-        lhs_dilation=(stride,),
-        dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
+    y = _conv(x, w, padding=[(pl, ph)], lhs_dilation=(stride,), dtype=dtype)
     return y + params["b"]
 
 

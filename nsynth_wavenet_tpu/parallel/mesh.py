@@ -37,6 +37,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> M
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Mesh whose data axis evenly divides the global batch: uses the largest
+    device count d <= len(devices) with batch_size % d == 0."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n_data=n, n_model=1, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -92,28 +103,20 @@ def shard_params(params, mesh: Mesh, spec_fn=teacher_tp_spec):
 
 
 def shard_train_state(state, mesh: Mesh, spec_fn=teacher_tp_spec):
-    """Place a full train state: params/ema (and the Adam mu/nu mirrors, which
-    share the param tree structure) follow spec_fn; scalars replicated."""
-    placed = dict(state)
-    placed["params"] = shard_params(state["params"], mesh, spec_fn)
-    placed["ema"] = shard_params(state["ema"], mesh, spec_fn)
+    """Place a full train state on the mesh, preserving pytree structure.
 
-    # optax ScaleByAdamState holds mu/nu mirroring the params' tree structure;
-    # their paths don't match the rules' prefixes, so walk the chain manually.
-    import optax  # local import to keep jax-only deps at module top
+    The spec rules match on path substrings, so they apply equally to
+    params, ema, and the optimizer's mu/nu mirrors (whose paths embed the
+    same layer names); every other leaf (step, Adam count, ...) replicates.
+    A leaf whose shape is incompatible with its matched spec (e.g. scalar
+    count) falls back to replication.
+    """
 
-    new_opt = []
-    for part in state["opt_state"]:
-        if isinstance(part, optax.ScaleByAdamState):
-            new_opt.append(
-                optax.ScaleByAdamState(
-                    count=jax.device_put(part.count, replicated(mesh)),
-                    mu=shard_params(part.mu, mesh, spec_fn),
-                    nu=shard_params(part.nu, mesh, spec_fn),
-                )
-            )
-        else:
-            new_opt.append(replicate_tree(part, mesh))
-    placed["opt_state"] = tuple(new_opt)
-    placed["step"] = jax.device_put(state["step"], replicated(mesh))
-    return placed
+    def _sharding(path, leaf):
+        spec = spec_fn(path)
+        if spec != P() and hasattr(leaf, "ndim") and leaf.ndim < len(spec):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    shardings = jax.tree_util.tree_map_with_path(_sharding, state)
+    return jax.device_put(state, shardings)

@@ -111,7 +111,7 @@ def train_wavenet(
     optimizer = opt_lib.make_optimizer(cfg.lr_schedule, grad_clip=cfg.grad_clip)
     state = train_lib.make_train_state(params, optimizer)
 
-    mesh = mesh_lib.make_mesh()
+    mesh = mesh_lib.data_mesh_for_batch(total_batch_size)
     state = mesh_lib.shard_train_state(state, mesh)
     bs = mesh_lib.batch_sharding(mesh)
 
@@ -258,7 +258,7 @@ def train_parallel_wavenet(
     optimizer = train_lib.make_student_optimizer(cfg, params)
     state = train_lib.make_train_state(params, optimizer)
 
-    mesh = mesh_lib.make_mesh()
+    mesh = mesh_lib.data_mesh_for_batch(total_batch_size)
     state = mesh_lib.shard_train_state(state, mesh, spec_fn=lambda path: mesh_lib.P())
     bs = mesh_lib.batch_sharding(mesh)
     te_params = mesh_lib.replicate_tree(te_params, mesh)
