@@ -51,7 +51,7 @@ def load_mel_batch(files, sample_length: int = 64000):
     batch = np.zeros((len(waves), max_len), np.float32)
     for i, w in enumerate(waves):
         batch[i, : len(w)] = w
-    return np.asarray(stft_ops.melspectrogram(batch))
+    return stft_ops.melspectrogram_np(batch)
 
 
 def load_eval_model(ckpt_dir: str):

@@ -35,17 +35,23 @@ from nsynth_wavenet_tpu.ops import signal as sig
 from nsynth_wavenet_tpu.ops import stft as stft_ops
 
 
-def _step_weights(params):
+def _step_weights(params, dtype=None):
     """Flatten conv params into per-step matmul weights (resolve weight norm).
 
     Kernel [3, in, out] -> stacked [3*in, out] so each scan step does one
-    matmul against the concatenated (t-2d, t-d, t) states.
+    matmul against the concatenated (t-2d, t-d, t) states.  AR generation is
+    weight-streaming-bound (every step re-reads all step weights from HBM),
+    so the matrices are cast to the compute dtype (bf16) once up front —
+    biases stay f32 (accumulation via preferred_element_type=f32).
     """
 
     def mat(p):
         w = conv_ops.effective_kernel(p)  # [fl, in, out]
         fl, cin, cout = w.shape
-        return w.reshape(fl * cin, cout), p["b"]
+        w = w.reshape(fl * cin, cout)
+        if dtype is not None:
+            w = w.astype(dtype)
+        return w, p["b"]
 
     out = {
         "conv_start": mat(params["conv_start"]),
@@ -63,6 +69,13 @@ def _step_weights(params):
             }
         )
     return out
+
+
+def _mm(x, w, b):
+    """bf16-friendly matmul with f32 accumulation + f32 bias."""
+    return (
+        jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32) + b
+    )
 
 
 class Fastgen:
@@ -88,6 +101,21 @@ class Fastgen:
         cond_out1 = conv_ops.conv1d(params["mel_cond_out1"], encoding, dtype=dtype)
         return encoding, jnp.stack(conds, axis=0), cond_out1
 
+    def _stacked_cond_weights(self, params, dtype):
+        """All mel-conditioning 1x1 kernels stacked into one matrix so the
+        scan body computes every layer's conditioning with a single matmul:
+        [deconv_width, num_layers*gate_width + skip_width] (+ bias row)."""
+        mats, biases = [], []
+        for lp in params["layers"]:
+            mats.append(conv_ops.effective_kernel(lp["mel_cond"])[0])  # [dw, gw]
+            biases.append(lp["mel_cond"]["b"])
+        mats.append(conv_ops.effective_kernel(params["mel_cond_out1"])[0])
+        biases.append(params["mel_cond_out1"]["b"])
+        w = jnp.concatenate(mats, axis=1)
+        if dtype is not None:
+            w = w.astype(dtype)
+        return w, jnp.concatenate(biases)
+
     def generate(
         self,
         params,
@@ -98,6 +126,7 @@ class Fastgen:
         teacher_force: Optional[jnp.ndarray] = None,
         cond_offset: int = 0,
         collect_out_params: bool = False,
+        precompute_cond: Optional[bool] = None,
     ):
         """Synthesize audio for a mel batch.  Returns float wav [B, L]
         (or (wav, out_params) when collect_out_params).
@@ -110,19 +139,36 @@ class Fastgen:
         cond_offset: shift into the conditioning timeline — training
         center-trims the (longer) encoding (wavenet.py:76-85); pass
         (enc_len - L)//2 to reproduce that alignment.
+        precompute_cond: precompute all per-layer conditioning up front
+        (O(layers*B*T*gate_width) memory, less in-scan compute) vs compute
+        it per step with one stacked matmul (enables large batches).  Auto
+        by memory estimate when None.
         """
         cfg = self.cfg
-        _, conds, cond_out1 = self.precompute_conditioning(params, mel)
-        B = mel.shape[0]
-        L = (conds.shape[2] - cond_offset) if length is None else length
-        assert L + cond_offset <= conds.shape[2], (L, cond_offset, conds.shape[2])
-
-        sw = _step_weights(params)
         num_layers = cfg.num_layers
         width = cfg.width
         gate_width = cfg.gate_width
         m = gate_width // 2
         half = cfg.quant_chann // 2
+        dtype = self.model.dtype
+        B = mel.shape[0]
+
+        if precompute_cond is None:
+            enc_frames = mel.shape[1] * cfg.frame_shift
+            est_bytes = num_layers * B * enc_frames * gate_width * 4
+            precompute_cond = est_bytes <= 2 * 1024**3
+
+        if precompute_cond:
+            _, conds, cond_out1 = self.precompute_conditioning(params, mel)
+            enc_len = conds.shape[2]
+        else:
+            encoding, _ = self.model.deconv_stack(params, mel)
+            cond_w, cond_b = self._stacked_cond_weights(params, dtype)
+            enc_len = encoding.shape[1]
+        L = (enc_len - cond_offset) if length is None else length
+        assert L + cond_offset <= enc_len, (L, cond_offset, enc_len)
+
+        sw = _step_weights(params, dtype)
 
         # ring buffers: input taps for conv_start over the scalar wav input,
         # and per-layer taps over the residual activations l.
@@ -170,9 +216,19 @@ class Fastgen:
 
             s2d, sd, new_xbuf = read_write(bufs["x"], t, 1, x_in)
             stack = jnp.concatenate([s2d, sd, x_in], axis=1)  # [B, 3]
-            l = stack @ sw["conv_start"][0] + sw["conv_start"][1]  # [B, width]
+            l = _mm(stack, *sw["conv_start"])  # [B, width]
 
-            s = l @ sw["skip_start"][0] + sw["skip_start"][1]  # [B, skip]
+            s = _mm(l, *sw["skip_start"])  # [B, skip]
+
+            tc = t + cond_offset
+            if precompute_cond:
+                layer_cond = lambda i: conds[i, :, tc, :]
+                out1_cond = cond_out1[:, tc, :]
+            else:
+                # one stacked matmul for every layer's conditioning
+                c_all = _mm(encoding[:, tc, :], cond_w, cond_b)
+                layer_cond = lambda i: c_all[:, i * gate_width : (i + 1) * gate_width]
+                out1_cond = c_all[:, num_layers * gate_width :]
 
             new_lbufs = []
             for i in range(num_layers):
@@ -181,16 +237,16 @@ class Fastgen:
                 new_lbufs.append(nb)
                 stack = jnp.concatenate([s2d, sd, l], axis=1)  # [B, 3*width]
                 lw = sw["layers"][i]
-                d = stack @ lw["dilated"][0] + lw["dilated"][1]  # [B, gw]
-                d = d + conds[i, :, t + cond_offset, :]
+                d = _mm(stack, *lw["dilated"])  # [B, gw]
+                d = d + layer_cond(i)
                 d = jax.nn.sigmoid(d[:, :m]) * jnp.tanh(d[:, m:])
-                l = l + (d @ lw["res"][0] + lw["res"][1])
-                s = s + (d @ lw["skip"][0] + lw["skip"][1])
+                l = l + _mm(d, *lw["res"])
+                s = s + _mm(d, *lw["skip"])
 
             s = jax.nn.relu(s)
-            s = (s @ sw["out1"][0] + sw["out1"][1]) + cond_out1[:, t + cond_offset, :]
+            s = _mm(s, *sw["out1"]) + out1_cond
             s = jax.nn.relu(s)
-            out = s @ sw["out2"][0] + sw["out2"][1]  # [B, out_width]
+            out = _mm(s, *sw["out2"])  # [B, out_width]
 
             if cfg.loss_type == "ce":
                 q = dist.ce_sample(sample_key, out, cfg.quant_chann)

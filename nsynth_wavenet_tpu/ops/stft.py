@@ -196,4 +196,28 @@ def num_mel_frames(length: int, p: MelParams = MEL_PARAMS) -> int:
     return 1 + length // p.hop_length
 
 
+def melspectrogram_np(y: np.ndarray, p: MelParams = MEL_PARAMS) -> np.ndarray:
+    """Pure-numpy twin of :func:`melspectrogram` for host-side paths (eval
+    file loading, init batches) where spinning up a device compile for a
+    one-off mel is wasteful.  Same conventions, same output."""
+    y = np.asarray(y, np.float32)
+    n_fft, hop, win = p.n_fft, p.hop_length, p.win_length
+    length = y.shape[-1]
+    n_frames = 1 + length // hop
+
+    pad = n_fft // 2
+    y_padded = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    window = np.zeros(n_fft, dtype=np.float32)
+    lpad = (n_fft - win) // 2
+    window[lpad : lpad + win] = hann_window(win)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = y_padded[..., idx] * window
+    spec = np.abs(np.fft.rfft(frames, n=n_fft)).astype(np.float32)
+
+    basis = mel_filterbank(p.sample_rate, p.n_fft, p.num_mel, p.mel_fmin, p.mel_fmax)
+    mel = spec @ basis.T
+    db = 20.0 * np.log10(np.maximum(p.min_amp, mel))
+    return np.clip((db - p.min_level_db) / -p.min_level_db, 0.0, 1.0).astype(np.float32)
+
+
 melspectrogram_jit = jax.jit(melspectrogram, static_argnums=())

@@ -102,7 +102,7 @@ def train_wavenet(
     if cfg.use_weight_norm:
         log.info("Calculate initial statistics (data-dependent init).")
         init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
-        init_mel = np.asarray(stft_ops.melspectrogram(init_wav))
+        init_mel = stft_ops.melspectrogram_np(init_wav)
         out_params, params = train_lib.run_data_dep_init(
             model, params, init_wav, init_mel, dropout_rng=jax.random.PRNGKey(seed + 1)
         )
@@ -231,7 +231,7 @@ def train_parallel_wavenet(
     if cfg.use_weight_norm:
         log.info("Calculate initial statistics (data-dependent init).")
         init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
-        init_mel = np.asarray(stft_ops.melspectrogram(init_wav))
+        init_mel = stft_ops.melspectrogram_np(init_wav)
 
         ff, params = jax.jit(
             lambda p, m: pwn.feed_forward(p, {"mel": m}, jax.random.PRNGKey(seed + 1), init=True)

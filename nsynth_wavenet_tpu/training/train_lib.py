@@ -67,12 +67,15 @@ def jit_train_step(step_fn, batch_sharding=None, donate_state: Optional[bool] = 
     """jit the step; batch arrives with the data-axis sharding, state keeps
     whatever placement it was given at init (layouts propagate).
 
-    donate_state defaults to True on accelerators (halves state HBM) but
-    False on CPU: XLA:CPU's in-process communicator deadlocks when a
-    donated buffer feeds a collective (observed with jax 0.9 all-gather).
+    donate_state defaults to False: XLA:CPU's in-process communicator
+    deadlocks when a donated buffer feeds a collective, and the tunneled
+    axon TPU backend (which reports itself as 'tpu') rejects donated
+    buffers with INVALID_ARGUMENT (both observed with jax 0.9).  Enable
+    explicitly on hardware where donation is known good — it halves the
+    train state's HBM footprint.
     """
     if donate_state is None:
-        donate_state = jax.default_backend() != "cpu"
+        donate_state = False
     in_shardings = None
     if batch_sharding is not None:
         in_shardings = (None, batch_sharding, None)  # state, wav, rng
@@ -167,7 +170,7 @@ def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None):
 
 def jit_pwn_train_step(step_fn, batch_sharding=None, donate_state: Optional[bool] = None):
     if donate_state is None:
-        donate_state = jax.default_backend() != "cpu"
+        donate_state = False
     in_shardings = None
     if batch_sharding is not None:
         in_shardings = (None, batch_sharding, batch_sharding, None)

@@ -37,8 +37,12 @@ def _wav_mel(batch_size=2, length=1280, seed=0):
     "loss_type,use_mu_law,double_gate",
     [("ce", True, True), ("mol", False, False), ("gauss", False, False)],
 )
-def test_teacher_forced_step_matches_feed_forward(loss_type, use_mu_law, double_gate):
-    """Ring-buffer step network == training feed_forward, all three heads."""
+@pytest.mark.parametrize("precompute_cond", [True, False])
+def test_teacher_forced_step_matches_feed_forward(
+    loss_type, use_mu_law, double_gate, precompute_cond
+):
+    """Ring-buffer step network == training feed_forward, all three heads,
+    both conditioning modes (precomputed vs per-step stacked matmul)."""
     cfg = config_lib.WavenetConfig(
         use_mu_law=use_mu_law,
         loss_type=loss_type,
@@ -65,6 +69,7 @@ def test_teacher_forced_step_matches_feed_forward(loss_type, use_mu_law, double_
         teacher_force=jnp.asarray(wav),
         cond_offset=offset,
         collect_out_params=True,
+        precompute_cond=precompute_cond,
     )
     got = np.asarray(got)
     assert got.shape == want.shape
