@@ -75,6 +75,25 @@ def gauss_log_prob(gauss_params, targets, use_log_scales=True):
     return -0.5 * jnp.log(2.0 * np.pi * var) - (targets - mean) ** 2.0 / (2.0 * var)
 
 
+def mog_log_prob(mog_params, targets, use_log_scales=True):
+    """Mixture-of-Gaussians log-prob (reference loss_func.py:78-96).
+
+    mog_params: [..., 3 * nr_mix] (logit_probs | means | std_params).
+    """
+    logit_probs, means, std_params = jnp.split(mog_params, 3, axis=-1)
+    if use_log_scales:
+        stds = jnp.exp(jnp.maximum(std_params, -7.0))
+    else:
+        stds = jnp.maximum(jax.nn.softplus(std_params), np.exp(-7.0))
+    var = stds**2.0
+    comp_lp = -0.5 * jnp.log(2.0 * np.pi * var) - (targets[..., None] - means) ** 2.0 / (
+        2.0 * var
+    )
+    return jax.scipy.special.logsumexp(
+        comp_lp + jax.nn.log_softmax(logit_probs, axis=-1), axis=-1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Losses (scalar means)
 # ---------------------------------------------------------------------------
@@ -93,6 +112,10 @@ def mol_loss(mol_params, real_targets, quant_chann):
 
 def gauss_loss(gauss_params, real_targets):
     return -jnp.mean(gauss_log_prob(gauss_params, real_targets))
+
+
+def mog_loss(mog_params, real_targets):
+    return -jnp.mean(mog_log_prob(mog_params, real_targets))
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +160,26 @@ def gauss_sample(rng, gauss_params, quant_chann, use_log_scales=True):
     """gauss_params: [..., 2] -> int32 sample [...]"""
     mean, std = mean_std_from_out_params(gauss_params, use_log_scales)
     x = mean + std * jax.random.normal(rng, mean.shape)
+    x = jnp.clip(x, -1.0, 1.0 - 2.0 / quant_chann)
+    return sig.cast_quantize(x, quant_chann)
+
+
+def mog_sample(rng, mog_params, quant_chann, use_log_scales=True):
+    """Mixture-of-Gaussians sampler (reference loss_func.py:209-214)."""
+    rng_sel, rng_x = jax.random.split(rng)
+    logit_probs, means, std_params = jnp.split(mog_params, 3, axis=-1)
+    nr_mix = logit_probs.shape[-1]
+    ru = _uniform_open(rng_sel, logit_probs.shape)
+    sel = jax.nn.one_hot(
+        jnp.argmax(logit_probs - jnp.log(-jnp.log(ru)), axis=-1), nr_mix, dtype=mog_params.dtype
+    )
+    mean = jnp.sum(means * sel, axis=-1)
+    std_p = jnp.sum(std_params * sel, axis=-1)
+    if use_log_scales:
+        std = jnp.exp(jnp.clip(std_p, -7.0, 7.0))
+    else:
+        std = jnp.maximum(jax.nn.softplus(std_p), np.exp(-7.0))
+    x = mean + std * jax.random.normal(rng_x, mean.shape)
     x = jnp.clip(x, -1.0, 1.0 - 2.0 / quant_chann)
     return sig.cast_quantize(x, quant_chann)
 

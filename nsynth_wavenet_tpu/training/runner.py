@@ -22,6 +22,46 @@ from nsynth_wavenet_tpu.utils import logging_utils
 LOG_EVERY = 100
 
 
+def maybe_init_distributed(multihost: bool):
+    """Multi-host SPMD init (replaces the reference's unused PS/worker
+    scaffolding, deployment/model_deploy.py:487-537): every host runs the
+    same program; jax.distributed wires the coordinator, the Mesh then spans
+    all hosts and gradient psums ride ICI within a slice / DCN across.
+    Call before any other jax API."""
+    if multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+
+class Profiler:
+    """jax.profiler trace over a step window (the reference has no tracing
+    at all, SURVEY.md §5); writes a TensorBoard-loadable trace."""
+
+    def __init__(self, run_dir, start_step, num_steps):
+        self.dir = os.path.join(run_dir, "profile")
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps if num_steps else 0
+        self.active = False
+
+    def maybe_update(self, step):
+        import jax
+
+        if self.stop_step and not self.active and step == self.start_step:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        elif self.active and step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def close(self):
+        if self.active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self.active = False
+
+
 def resolve_run_dir(log_root: str, logdir: str, config_path: str, model_tag: str):
     """New run: create log_root/<slug>-<time> and copy the config json.
     Resume: read the json already inside logdir (reference
@@ -76,8 +116,11 @@ def train_wavenet(
     num_steps: int = None,
     ckpt_every_steps: int = 2000,
     seed: int = 0,
+    multihost: bool = False,
+    profile_steps: int = 0,
 ):
     """Teacher training (reference train_wavenet.py)."""
+    maybe_init_distributed(multihost)
     import jax
 
     from nsynth_wavenet_tpu.models.wavenet import Wavenet
@@ -126,13 +169,17 @@ def train_wavenet(
     )
 
     writer = logging_utils.MetricsWriter(run_dir)
-    it = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed)
+    it = ds.batch_iterator(
+        total_batch_size, cfg.wave_length, seed=seed + jax.process_index()
+    )
     rng = jax.random.PRNGKey(seed + 2)
     target = num_steps if num_steps is not None else cfg.num_iters
     step = int(jax.device_get(state["step"]))
+    profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
     try:
         while step < target:
+            profiler.maybe_update(step)
             wav = jax.device_put(next(it), bs)
             state, metrics = step_fn(state, wav, rng)
             step += 1
@@ -151,6 +198,7 @@ def train_wavenet(
             if step % ckpt_every_steps == 0 or step == target:
                 mgr.save(step, jax.device_get(state))
     finally:
+        profiler.close()
         it.close()
         writer.close()
         mgr.close()
@@ -198,8 +246,11 @@ def train_parallel_wavenet(
     num_steps: int = None,
     ckpt_every_steps: int = 2000,
     seed: int = 0,
+    multihost: bool = False,
+    profile_steps: int = 0,
 ):
     """Student distillation training (reference train_parallel_wavenet.py)."""
+    maybe_init_distributed(multihost)
     import jax
 
     from nsynth_wavenet_tpu.models.parallel_wavenet import (
@@ -274,14 +325,20 @@ def train_parallel_wavenet(
     )
 
     writer = logging_utils.MetricsWriter(run_dir)
-    it = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed)
-    it_rand = ds.batch_iterator(total_batch_size, cfg.wave_length, seed=seed + 12345)
+    it = ds.batch_iterator(
+        total_batch_size, cfg.wave_length, seed=seed + jax.process_index()
+    )
+    it_rand = ds.batch_iterator(
+        total_batch_size, cfg.wave_length, seed=seed + 12345 + jax.process_index()
+    )
     rng = jax.random.PRNGKey(seed + 2)
     target = num_steps if num_steps is not None else cfg.num_iters
     step = int(jax.device_get(state["step"]))
+    profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
     try:
         while step < target:
+            profiler.maybe_update(step)
             wav = jax.device_put(next(it), bs)
             wav_rand = jax.device_put(next(it_rand), bs)
             state, metrics = step_fn(state, wav, wav_rand, rng)
@@ -301,6 +358,7 @@ def train_parallel_wavenet(
             if step % ckpt_every_steps == 0 or step == target:
                 mgr.save(step, jax.device_get(state))
     finally:
+        profiler.close()
         it.close()
         it_rand.close()
         writer.close()

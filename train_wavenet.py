@@ -24,6 +24,10 @@ if __name__ == "__main__":
                         help="Override cfg.num_iters")
     parser.add_argument("--ckpt_every_steps", default=2000, type=int)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (TPU pod)")
+    parser.add_argument("--profile_steps", default=0, type=int,
+                        help="capture a jax.profiler trace over N steps")
     args = parser.parse_args()
     runner.train_wavenet(
         train_path=args.train_path,
@@ -34,4 +38,6 @@ if __name__ == "__main__":
         num_steps=args.num_steps,
         ckpt_every_steps=args.ckpt_every_steps,
         seed=args.seed,
+        multihost=args.multihost,
+        profile_steps=args.profile_steps,
     )
