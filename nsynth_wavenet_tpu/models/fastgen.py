@@ -61,11 +61,17 @@ def _step_weights(params, dtype=None):
         "layers": [],
     }
     for lp in params["layers"]:
+        # res and skip share their input (the gated activation): one fused
+        # [m, width+skip] matmul halves the per-layer dispatch count
+        rw, rb = mat(lp["res"])
+        skw, skb = mat(lp["skip"])
         out["layers"].append(
             {
                 "dilated": mat(lp["dilated"]),
-                "res": mat(lp["res"]),
-                "skip": mat(lp["skip"]),
+                "res_skip": (
+                    jnp.concatenate([rw, skw], axis=1),
+                    jnp.concatenate([rb, skb]),
+                ),
             }
         )
     return out
@@ -240,8 +246,9 @@ class Fastgen:
                 d = _mm(stack, *lw["dilated"])  # [B, gw]
                 d = d + layer_cond(i)
                 d = jax.nn.sigmoid(d[:, :m]) * jnp.tanh(d[:, m:])
-                l = l + _mm(d, *lw["res"])
-                s = s + _mm(d, *lw["skip"])
+                rs = _mm(d, *lw["res_skip"])  # [B, width + skip]
+                l = l + rs[:, :width]
+                s = s + rs[:, width:]
 
             s = jax.nn.relu(s)
             s = _mm(s, *sw["out1"]) + out1_cond
@@ -265,7 +272,8 @@ class Fastgen:
             return new_carry, emit
 
         init = (buffers, jnp.zeros((B,), jnp.float32), rng)
-        _, emitted = jax.lax.scan(step, init, jnp.arange(L))
+        # unroll amortizes scan iteration overhead (~10% on v5e)
+        _, emitted = jax.lax.scan(step, init, jnp.arange(L), unroll=4)
         if collect_out_params:
             audio, outs = emitted
             return jnp.transpose(audio), jnp.transpose(outs, (1, 0, 2))
