@@ -54,12 +54,22 @@ def main():
     mel = stft.melspectrogram_np(wav)
     gen_len = (mel.shape[1] - 1) * 200  # trim partial last frame
 
-    gen = jax.jit(
-        lambda p, m, k: fg.generate(p, m, k, length=gen_len, precompute_cond=False)
-    )
-
+    # fused Pallas kernel path, bf16 streamed weights (lossless vs the bf16
+    # XLA scan; int8 mode trades ~15% more speed for quantization error).
+    # Falls back to the XLA lax.scan path if the Pallas compile fails.
     t0 = time.time()
-    out = np.asarray(gen(params, mel, jax.random.PRNGKey(1)))
+    try:
+        gen = jax.jit(lambda p, m, s: fg.generate_pallas(p, m, s, length=gen_len))
+        out = np.asarray(gen(params, mel, 1))
+        print("path: pallas fused kernel (bf16 weights)", file=sys.stderr)
+    except Exception as e:  # backend-specific pallas failure
+        print(f"pallas path failed ({type(e).__name__}); XLA scan fallback", file=sys.stderr)
+        gen = jax.jit(
+            lambda p, m, s: fg.generate(
+                p, m, jax.random.PRNGKey(s), length=gen_len, precompute_cond=False
+            )
+        )
+        out = np.asarray(gen(params, mel, 1))
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
@@ -67,7 +77,7 @@ def main():
     t0 = time.time()
     for i in range(runs):
         # np.asarray forces a host fetch — honest end-to-end timing
-        out = np.asarray(gen(params, mel, jax.random.PRNGKey(i)))
+        out = np.asarray(gen(params, mel, i))
     dt = (time.time() - t0) / runs
 
     audio_sec = batch * gen_len / sr

@@ -1,0 +1,513 @@
+"""Fused Pallas TPU kernel for autoregressive WaveNet generation.
+
+One ``pallas_call`` runs the ENTIRE utterance: grid = (num_samples,), with
+all recurrent state living across sequential grid steps:
+
+  * residual/skip activations and the scalar-input tap history in VMEM
+    scratch (persists across grid iterations on TPU);
+  * per-layer dilation ring buffers in HBM (input/output-aliased), accessed
+    with async DMA — read taps at t-d and t-2d, write the new activation at
+    slot t mod 2d (same scheme as models/fastgen.py, which itself mirrors
+    the reference's FIFO-queue pair, masked.py:352-359);
+  * per-layer weights streamed HBM->VMEM with double buffering.  AR
+    generation is weight-streaming-bound (~60-70 MB re-read per step for the
+    full-size teacher), so the mel-conditioning 1x1 kernel is CONCATENATED
+    onto each dilated kernel — one [3*width + deconv_width, gate] matrix per
+    layer — and all weights stream as bf16 (or int8 with per-output-channel
+    scales, halving the bandwidth floor again);
+  * sampling (CE / MoL / Gauss, or greedy) computed in-kernel with the TPU
+    PRNG; the decoded sample feeds the next grid step without ever leaving
+    the chip.
+
+The XLA lax.scan path in models/fastgen.py remains the reference
+implementation; this kernel is validated against it via teacher-forced
+out_params parity (tests) and used by Fastgen.generate(use_pallas=True).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsynth_wavenet_tpu.ops import conv as conv_ops
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _quantize_rows(w, dtype):
+    """Per-output-channel symmetric quantization of [K, N] -> (q, scale[1, N])."""
+    if dtype == jnp.bfloat16:
+        return w.astype(jnp.bfloat16), None
+    assert dtype == jnp.int8
+    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
+    """Pack the teacher's params into the kernel's streamed/resident arrays.
+
+    Returns a dict of arrays (all device-placeable):
+      w_comb [NL, 3*width + dw, gw]   streamed (bf16 or int8)
+      s_comb [NL, 1, gw] f32          int8 scales (absent for bf16)
+      b_comb [NL, gw] f32
+      w_rs   [NL, m, width + skip]    streamed
+      s_rs / b_rs
+      w_start [8, width] f32          (rows 0-2 = taps; rest zero)
+      b_start [1, width] f32
+      w_skip0 [width, skip] bf16, b_skip0 [1, skip]
+      w_out1 [skip + dw, skip] bf16 (cond fused), b_out1 [1, skip]
+      w_out2 [skip, out_pad] bf16, b_out2 [1, out_pad]
+    """
+    NL = cfg.num_layers
+    width, gw, skip, dw = cfg.width, cfg.gate_width, cfg.skip_width, cfg.deconv_width
+    m = gw // 2
+
+    def k2d(p):
+        w = conv_ops.effective_kernel(p)
+        return w.reshape(w.shape[0] * w.shape[1], w.shape[2])
+
+    w_comb, s_comb, b_comb, w_rs, s_rs, b_rs = [], [], [], [], [], []
+    for lp in params["layers"]:
+        wc = jnp.concatenate([k2d(lp["dilated"]), k2d(lp["mel_cond"])], axis=0)
+        q, s = _quantize_rows(wc, weight_dtype)
+        w_comb.append(q)
+        s_comb.append(s)
+        b_comb.append(lp["dilated"]["b"] + lp["mel_cond"]["b"])
+        wrs = jnp.concatenate([k2d(lp["res"]), k2d(lp["skip"])], axis=1)
+        q, s = _quantize_rows(wrs, weight_dtype)
+        w_rs.append(q)
+        s_rs.append(s)
+        b_rs.append(jnp.concatenate([lp["res"]["b"], lp["skip"]["b"]]))
+
+    w_start = jnp.zeros((8, width), jnp.float32)
+    w_start = w_start.at[:3].set(k2d(params["conv_start"]))
+
+    out_w = cfg.out_width
+    out_pad_seg = _round_up(max(out_w // 3 if cfg.loss_type == "mol" else out_w, 1), LANE)
+    if cfg.loss_type == "mol":
+        # segment layout: [logits | pad][means | pad][scales | pad], each
+        # 128-lane aligned so in-kernel slices stay tile-aligned
+        nr = cfg.mol_mix
+        w2 = k2d(params["out2"])  # [skip, 3*nr]
+        b2 = params["out2"]["b"]
+        out_pad = 3 * out_pad_seg
+        w_out2 = jnp.zeros((skip, out_pad), jnp.float32)
+        b_out2 = jnp.full((out_pad,), 0.0, jnp.float32)
+        for seg in range(3):
+            w_out2 = w_out2.at[:, seg * out_pad_seg : seg * out_pad_seg + nr].set(
+                w2[:, seg * nr : (seg + 1) * nr]
+            )
+            b_out2 = b_out2.at[seg * out_pad_seg : seg * out_pad_seg + nr].set(
+                b2[seg * nr : (seg + 1) * nr]
+            )
+        # padded logit lanes must never win the gumbel argmax
+        b_out2 = b_out2.at[nr:out_pad_seg].set(-1e9)
+    else:
+        out_pad = _round_up(out_w, LANE)
+        w_out2 = jnp.zeros((skip, out_pad), jnp.float32)
+        w_out2 = w_out2.at[:, :out_w].set(k2d(params["out2"]))
+        b_out2 = jnp.full((out_pad,), -1e9 if cfg.loss_type == "ce" else 0.0, jnp.float32)
+        b_out2 = b_out2.at[:out_w].set(params["out2"]["b"])
+
+    w_out1 = jnp.concatenate([k2d(params["out1"]), k2d(params["mel_cond_out1"])], axis=0)
+
+    return {
+        "w_comb": jnp.stack(w_comb),
+        "s_comb": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_comb),
+        "b_comb": jnp.stack(b_comb),
+        "w_rs": jnp.stack(w_rs),
+        "s_rs": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_rs),
+        "b_rs": jnp.stack(b_rs),
+        "w_start": w_start,
+        "b_start": params["conv_start"]["b"][None, :],
+        "w_skip0": k2d(params["skip_start"]).astype(jnp.bfloat16),
+        "b_skip0": params["skip_start"]["b"][None, :],
+        "w_out1": w_out1.astype(jnp.bfloat16),
+        "b_out1": (params["out1"]["b"] + params["mel_cond_out1"]["b"])[None, :],
+        "w_out2": w_out2.astype(jnp.bfloat16),
+        "b_out2": b_out2[None, :],
+        "out_pad_seg": out_pad_seg,
+        "out_pad": out_pad,
+    }
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> float32 uniform in [1e-5, 1 - 1e-5] (reference samplers use
+    the same open interval, loss_func.py:168)."""
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.clip(u, 1e-5, 1.0 - 1e-5)
+
+
+def _select_by_max(values, sel_scores):
+    """Pick values at the argmax of sel_scores along the last axis without
+    an argmax/iota (sum-normalized one-hot of the max)."""
+    mx = jnp.max(sel_scores, axis=-1, keepdims=True)
+    onehot = (sel_scores == mx).astype(jnp.float32)
+    onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+    return jnp.sum(values * onehot, axis=-1)
+
+
+def make_generate_fn(
+    cfg,
+    batch: int,
+    length: int,
+    *,
+    weight_dtype=jnp.bfloat16,
+    greedy: bool = False,
+    teacher_forced: bool = False,
+    collect_out_params: bool = False,
+    interpret: bool = False,
+):
+    """Build the jittable pallas generation function for a fixed (cfg, B, L).
+
+    Returns fn(kernel_weights, enc_t [L, B, dw] bf16, seed int32)
+      -> audio [B, L] f32 (and out_params [B, L, out_pad] if collecting).
+    teacher_forced adds a leading arg tf [L, B] f32 (ground-truth feedback).
+    """
+    NL = cfg.num_layers
+    width, gw, skip, dw = cfg.width, cfg.gate_width, cfg.skip_width, cfg.deconv_width
+    m = gw // 2
+    B = batch
+    half = cfg.quant_chann // 2
+    qc = cfg.quant_chann
+    dils = [2 ** (i % cfg.num_stages) for i in range(NL)]
+    offs = np.concatenate([[0], np.cumsum([2 * d for d in dils])]).astype(np.int32)
+    tot_slots = int(offs[-1])
+    L_pad = _round_up(length, 8)
+    is_int8 = weight_dtype == jnp.int8
+    # static head layout (must NOT come from the weights pytree: under jit
+    # its leaves are tracers and BlockSpec shapes must be python ints)
+    out_pad_seg = _round_up(
+        max(cfg.out_width // 3 if cfg.loss_type == "mol" else cfg.out_width, 1), LANE
+    )
+    out_pad = 3 * out_pad_seg if cfg.loss_type == "mol" else out_pad_seg
+    krow = 3 * width + dw  # streamed combined-matrix rows
+
+    def kernel(*refs):
+        i = 0
+        seed_ref = refs[i]; i += 1
+        enc_ref = refs[i]; i += 1
+        wcomb_ref = refs[i]; i += 1
+        bcomb_ref = refs[i]; i += 1
+        wrs_ref = refs[i]; i += 1
+        brs_ref = refs[i]; i += 1
+        if is_int8:
+            scomb_ref = refs[i]; i += 1
+            srs_ref = refs[i]; i += 1
+        wstart_ref = refs[i]; i += 1
+        bstart_ref = refs[i]; i += 1
+        wskip0_ref = refs[i]; i += 1
+        bskip0_ref = refs[i]; i += 1
+        wout1_ref = refs[i]; i += 1
+        bout1_ref = refs[i]; i += 1
+        wout2_ref = refs[i]; i += 1
+        bout2_ref = refs[i]; i += 1
+        lbuf_in_ref = refs[i]; i += 1
+        if teacher_forced:
+            tf_ref = refs[i]; i += 1
+        # outputs
+        audio_ref = refs[i]; i += 1
+        lbuf_ref = refs[i]; i += 1  # aliased with lbuf_in_ref
+        if collect_out_params:
+            outp_ref = refs[i]; i += 1
+        # scratch
+        xh = refs[i]; i += 1          # [8, B] f32 rows 0..2 = taps
+        wbuf = refs[i]; i += 1        # [2, krow, gw]
+        rsbuf = refs[i]; i += 1       # [2, m, width+skip]
+        bread = refs[i]; i += 1       # [2, 2, B, width] bf16
+        lwrite = refs[i]; i += 1      # [2, B, width] bf16
+        stack = refs[i]; i += 1       # [B, krow] bf16
+        w_sem = refs[i]; i += 1       # DMA sems (2,)
+        rs_sem = refs[i]; i += 1
+        br_sem = refs[i]; i += 1      # (2, 2)
+        bw_sem = refs[i]; i += 1      # (2,)
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            xh[...] = jnp.zeros((8, B), jnp.float32)
+
+        def start_layer_dmas(li, slot):
+            pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).start()
+            pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).start()
+            d = dils[li]
+            size = 2 * d
+            base = offs[li]
+            row2 = base + jax.lax.rem(t, size)           # t - 2d state
+            row1 = base + jax.lax.rem(t + d, size)       # t - d state
+            pltpu.make_async_copy(lbuf_ref.at[row2], bread.at[slot, 0], br_sem.at[slot, 0]).start()
+            pltpu.make_async_copy(lbuf_ref.at[row1], bread.at[slot, 1], br_sem.at[slot, 1]).start()
+
+        start_layer_dmas(0, 0)
+
+        enc = enc_ref[0]  # [B, dw] bf16
+
+        # conv_start over the scalar tap history (3 outer products)
+        l = (
+            xh[0][:, None] * wstart_ref[0][None, :]
+            + xh[1][:, None] * wstart_ref[1][None, :]
+            + xh[2][:, None] * wstart_ref[2][None, :]
+            + bstart_ref[0][None, :]
+        )  # [B, width] f32
+        s = (
+            jnp.dot(l.astype(jnp.bfloat16), wskip0_ref[...], preferred_element_type=jnp.float32)
+            + bskip0_ref[0][None, :]
+        )  # [B, skip] f32
+
+        for li in range(NL):
+            slot = li % 2
+            nxt = (li + 1) % 2
+            if li + 1 < NL:
+                start_layer_dmas(li + 1, nxt)
+
+            pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).wait()
+            pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
+
+            l_bf = l.astype(jnp.bfloat16)
+            stack[:, 0:width] = bread[slot, 0]
+            stack[:, width : 2 * width] = bread[slot, 1]
+            stack[:, 2 * width : 3 * width] = l_bf
+            stack[:, 3 * width :] = enc
+
+            if is_int8:
+                acc = jnp.dot(
+                    stack[...].astype(jnp.bfloat16),
+                    wbuf[slot].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                d_pre = acc * scomb_ref[li] + bcomb_ref[li][None, :]
+            else:
+                d_pre = (
+                    jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
+                    + bcomb_ref[li][None, :]
+                )
+            gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
+
+            if is_int8:
+                rs = (
+                    jnp.dot(
+                        gate.astype(jnp.bfloat16),
+                        rsbuf[slot].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * srs_ref[li]
+                    + brs_ref[li][None, :]
+                )
+            else:
+                rs = (
+                    jnp.dot(
+                        gate.astype(jnp.bfloat16), rsbuf[slot],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + brs_ref[li][None, :]
+                )
+            new_l = l + rs[:, :width]
+            s = s + rs[:, width:]
+
+            # write this layer's input activation (pre-residual l) into its
+            # ring slot for steps t+d / t+2d
+            if li >= 2:
+                pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
+            lwrite[slot] = l_bf
+            d = dils[li]
+            wrow = offs[li] + jax.lax.rem(t, 2 * d)
+            pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
+            l = new_l
+
+        # drain the last two buffer writes before the next grid step reads
+        pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
+        pltpu.make_async_copy(lwrite.at[(NL - 1) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
+
+        s = jax.nn.relu(s)
+        o1 = (
+            jnp.dot(s.astype(jnp.bfloat16), wout1_ref[0:skip], preferred_element_type=jnp.float32)
+            + jnp.dot(enc, wout1_ref[skip:], preferred_element_type=jnp.float32)
+            + bout1_ref[0][None, :]
+        )
+        o1 = jax.nn.relu(o1)
+        out = (
+            jnp.dot(o1.astype(jnp.bfloat16), wout2_ref[...], preferred_element_type=jnp.float32)
+            + bout2_ref[0][None, :]
+        )  # [B, out_pad] f32
+
+        if collect_out_params:
+            outp_ref[0, 0] = out
+
+        # ---- sampling ----
+        if not greedy:
+            pltpu.prng_seed(seed_ref[0], t)
+        seg = out.shape[-1] // 3 if cfg.loss_type == "mol" else out.shape[-1]
+
+        if cfg.loss_type == "mol":
+            logits = out[:, 0:seg]
+            means = out[:, seg : 2 * seg]
+            scale_p = out[:, 2 * seg : 3 * seg]
+            if greedy:
+                x = _select_by_max(means, logits)
+            else:
+                u1 = _uniform_from_bits(pltpu.prng_random_bits((B, seg)))
+                g = logits - jnp.log(-jnp.log(u1))
+                mean = _select_by_max(means, g)
+                log_sc = jnp.clip(_select_by_max(scale_p, g), -7.0, 7.0)
+                u2 = _uniform_from_bits(pltpu.prng_random_bits((B, LANE)))[:, 0]
+                x = mean + jnp.exp(log_sc) * (jnp.log(u2) - jnp.log(1.0 - u2))
+        elif cfg.loss_type == "gauss":
+            e0 = (jax.lax.broadcasted_iota(jnp.int32, (B, seg), 1) == 0).astype(jnp.float32)
+            e1 = (jax.lax.broadcasted_iota(jnp.int32, (B, seg), 1) == 1).astype(jnp.float32)
+            mean = jnp.sum(out * e0, axis=-1)
+            std = jnp.exp(jnp.maximum(jnp.sum(out * e1, axis=-1), -7.0))
+            if greedy:
+                x = mean
+            else:
+                u1 = _uniform_from_bits(pltpu.prng_random_bits((B, LANE)))[:, 0]
+                u2 = _uniform_from_bits(pltpu.prng_random_bits((B, LANE)))[:, 0]
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+                x = mean + std * z
+        else:  # ce
+            logits = out
+            if greedy:
+                scores = logits
+            else:
+                u1 = _uniform_from_bits(pltpu.prng_random_bits(logits.shape))
+                scores = logits - jnp.log(-jnp.log(u1))
+            idx = jnp.sum(
+                (scores == jnp.max(scores, axis=-1, keepdims=True)).astype(jnp.float32)
+                * jax.lax.broadcasted_iota(jnp.float32, logits.shape, 1),
+                axis=-1,
+            )
+            qv = idx - half  # value in [-qc/2, qc/2)
+
+        # quantize + decode like the reference sampler chain
+        if cfg.loss_type in ("mol", "gauss"):
+            x = jnp.clip(x, -1.0, 1.0 - 2.0 / qc)
+            qv = jnp.floor(x * half)
+        if cfg.use_mu_law:
+            audio = (qv + 0.5) * 2.0 / 256.0
+            audio = jnp.sign(audio) / 255.0 * (jnp.power(256.0, jnp.abs(audio)) - 1.0)
+            audio = jnp.where(qv == 0, 0.0, audio)
+        else:
+            audio = qv / float(half)
+
+        audio_ref[pl.ds(jax.lax.rem(t, 8), 1), :] = audio[None, :]
+
+        # next-step input (teacher forcing overrides the feedback)
+        if teacher_forced:
+            fb = tf_ref[0]
+        else:
+            fb = audio
+        if cfg.use_mu_law:
+            mu_q = jnp.floor(
+                jnp.sign(fb) * jnp.log1p(255.0 * jnp.abs(fb)) / np.log(256.0) * 128.0
+            )
+            x_next = mu_q / float(half)
+        else:
+            x_next = fb
+        xh[0] = xh[1]
+        xh[1] = xh[2]
+        xh[2] = x_next
+
+    # ---- specs ----
+    grid = (length,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+        pl.BlockSpec((1, B, dw), lambda t: (t, 0, 0)),  # enc_t
+        pl.BlockSpec(memory_space=pltpu.ANY),  # w_comb
+        pl.BlockSpec((NL, gw), lambda t: (0, 0)),  # b_comb
+        pl.BlockSpec(memory_space=pltpu.ANY),  # w_rs
+        pl.BlockSpec((NL, width + skip), lambda t: (0, 0)),  # b_rs
+    ]
+    if is_int8:
+        in_specs += [
+            pl.BlockSpec((NL, 1, gw), lambda t: (0, 0, 0)),
+            pl.BlockSpec((NL, 1, width + skip), lambda t: (0, 0, 0)),
+        ]
+    in_specs += [
+        pl.BlockSpec((8, width), lambda t: (0, 0)),  # w_start
+        pl.BlockSpec((1, width), lambda t: (0, 0)),  # b_start
+        pl.BlockSpec((width, skip), lambda t: (0, 0)),  # w_skip0
+        pl.BlockSpec((1, skip), lambda t: (0, 0)),  # b_skip0
+        pl.BlockSpec((skip + dw, skip), lambda t: (0, 0)),  # w_out1
+        pl.BlockSpec((1, skip), lambda t: (0, 0)),  # b_out1
+    ]
+
+    def build(kw):
+        specs = list(in_specs)
+        specs += [
+            pl.BlockSpec((skip, out_pad), lambda t: (0, 0)),  # w_out2
+            pl.BlockSpec((1, out_pad), lambda t: (0, 0)),  # b_out2
+            pl.BlockSpec(memory_space=pltpu.ANY),  # lbuf in
+        ]
+        if teacher_forced:
+            specs.append(pl.BlockSpec((1, B), lambda t: (t, 0)))
+        out_shape = [
+            jax.ShapeDtypeStruct((L_pad, B), jnp.float32),  # audio
+            jax.ShapeDtypeStruct((tot_slots, B, width), jnp.bfloat16),  # lbuf
+        ]
+        out_specs = [
+            pl.BlockSpec((8, B), lambda t: (t // 8, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        if collect_out_params:
+            out_shape.append(jax.ShapeDtypeStruct((L_pad, 1, B, out_pad), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, B, out_pad), lambda t: (t, 0, 0, 0)))
+        lbuf_arg_index = len(specs) - (2 if teacher_forced else 1)
+
+        scratch = [
+            pltpu.VMEM((8, B), jnp.float32),  # xh
+            pltpu.VMEM((2, krow, gw), weight_dtype),  # wbuf
+            pltpu.VMEM((2, m, width + skip), weight_dtype),  # rsbuf
+            pltpu.VMEM((2, 2, B, width), jnp.bfloat16),  # bread
+            pltpu.VMEM((2, B, width), jnp.bfloat16),  # lwrite
+            pltpu.VMEM((B, krow), jnp.bfloat16),  # stack
+            pltpu.SemaphoreType.DMA((2,)),  # w_sem
+            pltpu.SemaphoreType.DMA((2,)),  # rs_sem
+            pltpu.SemaphoreType.DMA((2, 2)),  # br_sem
+            pltpu.SemaphoreType.DMA((2,)),  # bw_sem
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=specs,
+            out_shape=tuple(out_shape),
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+            input_output_aliases={lbuf_arg_index: 1},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+
+    def generate(kw, enc_t, seed, tf=None):
+        """kw: build_kernel_weights output; enc_t [L, B, dw] bf16 (already
+        offset-trimmed); seed: int32 scalar; tf [L, B] f32 if teacher_forced."""
+        call = build(kw)
+        seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+        lbuf0 = jnp.zeros((tot_slots, B, width), jnp.bfloat16)
+        enc_t = enc_t.astype(jnp.bfloat16)
+        args = [seed_arr, enc_t, kw["w_comb"], kw["b_comb"], kw["w_rs"], kw["b_rs"]]
+        if is_int8:
+            args += [kw["s_comb"], kw["s_rs"]]
+        args += [
+            kw["w_start"], kw["b_start"], kw["w_skip0"], kw["b_skip0"],
+            kw["w_out1"], kw["b_out1"], kw["w_out2"], kw["b_out2"], lbuf0,
+        ]
+        if teacher_forced:
+            assert tf is not None
+            tf_pad = jnp.zeros((L_pad, B), jnp.float32).at[:length].set(tf)
+            args.append(tf_pad)
+        outs = call(*args)
+        audio = outs[0][:length].T  # [B, L]
+        if collect_out_params:
+            return audio, jnp.transpose(outs[2][:length, 0], (1, 0, 2))
+        return audio
+
+    return generate

@@ -1,0 +1,123 @@
+"""Pallas fused-generation kernel tests (interpret mode on CPU).
+
+The kernel must reproduce the XLA lax.scan path's out_params under teacher
+forcing — that exercises the full recurrent machinery (ring-buffer DMA,
+weight streaming layout, cond fusion, tap history) without sampling
+divergence.  Measured TPU numbers live in bench.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsynth_wavenet_tpu import config as config_lib
+from nsynth_wavenet_tpu.models.fastgen import Fastgen
+from nsynth_wavenet_tpu.models.wavenet import Wavenet
+from nsynth_wavenet_tpu.ops import fastgen_kernel as fk
+from nsynth_wavenet_tpu.ops import stft
+
+# lane-aligned tiny config (the kernel requires multiples of 128)
+SMALL = dict(
+    num_layers=4,
+    num_stages=2,
+    width=128,
+    skip_width=128,
+    deconv_width=128,
+    wave_length=1280,
+    compute_dtype="float32",
+)
+B, L = 8, 96
+
+
+def _setup(loss_type, use_mu_law, seed=0):
+    cfg = config_lib.WavenetConfig(
+        loss_type=loss_type,
+        use_mu_law=use_mu_law,
+        double_gate_width=False,
+        upsample_act="leaky_relu",
+        **SMALL,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    t = np.arange(1280) / 16000.0
+    wav = 0.4 * np.sin(2 * np.pi * 220 * t)[None] + 0.05 * rng.randn(B, 1280)
+    wav = np.clip(wav, -0.99, 0.99).astype(np.float32)
+    mel = stft.melspectrogram_np(wav)
+    return cfg, model, params, wav, mel
+
+
+@pytest.mark.parametrize(
+    "loss_type,use_mu_law", [("mol", False), ("gauss", False), ("ce", True)]
+)
+def test_kernel_matches_xla_teacher_forced(loss_type, use_mu_law):
+    cfg, model, params, wav, mel = _setup(loss_type, use_mu_law)
+    fg = Fastgen(model)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+
+    _, want = fg.generate(
+        params,
+        mel,
+        jax.random.PRNGKey(1),
+        length=L,
+        teacher_force=jnp.asarray(wav),
+        cond_offset=off,
+        collect_out_params=True,
+    )
+    want = np.asarray(want)  # [B, L, out_width]
+
+    kw = fk.build_kernel_weights(cfg, params)
+    seg = kw.pop("out_pad_seg")
+    kw.pop("out_pad")
+    gen = fk.make_generate_fn(
+        cfg, B, L, teacher_forced=True, collect_out_params=True, greedy=True,
+        interpret=True,
+    )
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    _, outp = gen(kw, enc_t, 123, tf=jnp.transpose(jnp.asarray(wav[:, :L])))
+    outp = np.asarray(outp)
+
+    if loss_type == "mol":
+        nr = cfg.mol_mix
+        got = np.concatenate(
+            [outp[:, :, s * seg : s * seg + nr] for s in range(3)], axis=-1
+        )
+    else:
+        got = outp[:, :, : cfg.out_width]
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=0)
+
+
+def test_kernel_int8_close_to_bf16():
+    """int8 per-channel weights must stay close to bf16 in out_params."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    tf = jnp.transpose(jnp.asarray(wav[:, :L]))
+
+    outs = {}
+    for wd in (jnp.bfloat16, jnp.int8):
+        kw = fk.build_kernel_weights(cfg, params, weight_dtype=wd)
+        kw.pop("out_pad"), kw.pop("out_pad_seg")
+        gen = fk.make_generate_fn(
+            cfg, B, L, weight_dtype=wd, teacher_forced=True,
+            collect_out_params=True, greedy=True, interpret=True,
+        )
+        _, outp = gen(kw, enc_t, 123, tf=tf)
+        outs[wd] = np.asarray(outp)
+    err = np.abs(outs[jnp.int8] - outs[jnp.bfloat16])
+    scale = np.abs(outs[jnp.bfloat16]).max()
+    assert err.max() < 0.05 * scale, (err.max(), scale)
+
+
+def test_generate_pallas_entrypoint():
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    audio = np.asarray(
+        fg.generate_pallas(params, mel, seed=7, length=L, greedy=True, interpret=True)
+    )
+    assert audio.shape == (B, L)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0
