@@ -24,16 +24,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh.  Defaults: all devices on 'data'."""
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, n_seq: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'model'[, 'seq']) mesh.  Defaults: all devices on
+    'data'.  The 'seq' axis shards the time dimension of activations
+    (sequence/context parallelism): the dilated convs have a finite
+    receptive field, so XLA's spatial partitioner inserts halo exchanges of
+    (filter-1)*dilation samples over ICI (SURVEY.md §5 long-context)."""
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_seq)
+    need = n_data * n_model * n_seq
+    assert need <= len(devices), (n_data, n_model, n_seq, len(devices))
+    if n_seq > 1:
+        arr = np.asarray(devices[:need]).reshape(n_data, n_model, n_seq)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+    arr = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

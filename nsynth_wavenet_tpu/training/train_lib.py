@@ -30,17 +30,29 @@ def make_train_state(params, optimizer: optax.GradientTransformation):
     }
 
 
-def make_wavenet_train_step(model, optimizer: optax.GradientTransformation):
+def make_wavenet_train_step(model, optimizer: optax.GradientTransformation, *, mesh=None):
     """Returns step_fn(state, wav, rng) -> (new_state, metrics).
 
     wav: [B, wave_length] raw float audio; mel is computed on device.
     rng: PRNG key for dropout (folded with step inside).
+
+    If ``mesh`` has a 'seq' axis, activations get a time-axis sharding
+    constraint (sequence parallelism): XLA spatially partitions the dilated
+    convs and inserts receptive-field halo exchanges over ICI.
     """
     lr_fn = opt_lib.piecewise_constant_lr(model.cfg.lr_schedule)
     use_dropout = model.cfg.dropout_inputs or model.cfg.dropout_all
 
+    seq_sharding = None
+    if mesh is not None and "seq" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq_sharding = NamedSharding(mesh, P("data", "seq"))
+
     def step_fn(state, wav, rng):
         step = state["step"]
+        if seq_sharding is not None:
+            wav = jax.lax.with_sharding_constraint(wav, seq_sharding)
         mel = stft_ops.melspectrogram(wav)
         dropout_rng = jax.random.fold_in(rng, step) if use_dropout else None
 

@@ -127,6 +127,27 @@ def test_tensor_parallel_step_runs():
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]), rtol=1e-5)
 
 
+def test_sequence_parallel_step_matches():
+    """2 data x 2 model x 2 seq mesh: time-axis (sequence-parallel) sharded
+    step must reproduce the unsharded loss — XLA inserts the dilated convs'
+    receptive-field halo exchanges."""
+    model, optimizer, state = _model_and_state()
+    rng = np.random.default_rng(3)
+    wav = np.clip(0.3 * rng.standard_normal((4, 1280)), -0.99, 0.99).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    ref_fn = train_lib.make_wavenet_train_step(model, optimizer)
+    _, m_ref = jax.jit(ref_fn)(state, wav, key)
+
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=2, n_seq=2)
+    assert mesh.axis_names == ("data", "model", "seq")
+    state_sh = mesh_lib.shard_train_state(state, mesh)
+    wav_sh = jax.device_put(wav, mesh_lib.batch_sharding(mesh))
+    step_fn = train_lib.make_wavenet_train_step(model, optimizer, mesh=mesh)
+    step_sh = train_lib.jit_train_step(step_fn, mesh_lib.batch_sharding(mesh))
+    _, m_sp = step_sh(state_sh, wav_sh, key)
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model, optimizer, state = _model_and_state()
     wav = 0.1 * np.sin(np.arange(1280) / 8.0)[None].astype(np.float32)
