@@ -1,0 +1,234 @@
+"""Full benchmark suite (BASELINE.md surface): AR synthesis (XLA scan vs
+Pallas bf16/int8), one-shot IAF synthesis Delay, and teacher/student
+training throughput.  Run manually on hardware; the driver-facing headline
+lives in bench.py.
+
+Timing protocol: every timed step forces a host fetch of a scalar that
+depends on the full computation — no dispatch-only illusions.
+
+Usage: python benchmarks/bench_all.py [--quick]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _wav_mel(B, L, seed=0):
+    from nsynth_wavenet_tpu.ops import stft
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(L) / 16000.0
+    wav = np.clip(
+        0.3 * np.sin(2 * np.pi * 150 * t)[None] + 0.01 * rng.randn(B, L), -0.99, 0.99
+    ).astype(np.float32)
+    return wav, stft.melspectrogram_np(wav)
+
+
+def bench_ar(results, quick):
+    import jax
+    import jax.numpy as jnp
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False, upsample_act="leaky_relu"
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    fg = Fastgen(model)
+    B, L = (32, 4000) if quick else (128, 16000)
+    wav, mel = _wav_mel(B, L)
+    gen_len = (mel.shape[1] - 1) * 200
+
+    paths = {
+        "ar_xla_scan": jax.jit(
+            lambda p, m, s: fg.generate(p, m, jax.random.PRNGKey(s), length=gen_len,
+                                        precompute_cond=False)
+        ),
+        "ar_pallas_bf16": jax.jit(lambda p, m, s: fg.generate_pallas(p, m, s, length=gen_len)),
+        "ar_pallas_int8": jax.jit(
+            lambda p, m, s: fg.generate_pallas(
+                p, m, s, length=gen_len, weight_dtype=jnp.int8
+            )
+        ),
+    }
+    for name, fn in paths.items():
+        try:
+            t0 = time.time()
+            out = np.asarray(fn(params, mel, 1))
+            compile_s = time.time() - t0
+            assert np.isfinite(out).all()
+            t0 = time.time()
+            runs = 3
+            for i in range(runs):
+                out = np.asarray(fn(params, mel, i + 2))
+            dt = (time.time() - t0) / runs
+            results[name] = {
+                "audio_sec_per_s_per_chip": round(B * gen_len / 16000.0 / dt, 2),
+                "samples_per_s": round(B * gen_len / dt),
+                "batch": B,
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+
+def bench_iaf(results, quick):
+    import jax
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", use_share_deconv=True, upsample_act="leaky_relu"
+    )
+    pwn = ParallelWavenet(cfg)
+    params = pwn.init_params(jax.random.PRNGKey(0))
+    B, L = (8, 16000) if quick else (16, 64000)
+    wav, mel = _wav_mel(B, L)
+    synth = parallelgen.jit_synthesize(pwn)
+    t0 = time.time()
+    out = np.asarray(synth(params, mel, jax.random.PRNGKey(0)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    runs = 5
+    for i in range(runs):
+        out = np.asarray(synth(params, mel, jax.random.PRNGKey(i)))
+    dt = (time.time() - t0) / runs
+    audio_sec = out.shape[0] * out.shape[1] / 16000.0
+    results["iaf_parallel_gen"] = {
+        "audio_sec_per_s_per_chip": round(audio_sec / dt, 1),
+        "delay": round(dt / audio_sec, 5),  # reference parallelgen.py:46-50
+        "batch": B,
+        "utterance_sec": round(out.shape[1] / 16000.0, 2),
+        "compile_s": round(compile_s, 1),
+    }
+    print(f"iaf_parallel_gen: {results['iaf_parallel_gen']}", file=sys.stderr)
+
+
+def bench_teacher_train(results, quick):
+    import jax
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+    from nsynth_wavenet_tpu.training import optimizer as opt_lib, train_lib
+
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False,
+        upsample_act="leaky_relu", dropout_inputs=True,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
+    state = train_lib.make_train_state(params, optimizer)
+    B = 4 if quick else 8
+    mesh = mesh_lib.data_mesh_for_batch(B)
+    state = mesh_lib.shard_train_state(state, mesh)
+    bs = mesh_lib.batch_sharding(mesh)
+    step = train_lib.jit_train_step(train_lib.make_wavenet_train_step(model, optimizer), bs)
+    wav, _ = _wav_mel(B, cfg.wave_length)
+    wav = jax.device_put(wav, bs)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step(state, wav, key)
+    float(metrics["loss"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    runs = 5 if quick else 20
+    for _ in range(runs):
+        state, metrics = step(state, wav, key)
+        float(metrics["loss"])  # force the full chain to complete each step
+    dt = (time.time() - t0) / runs
+    results["teacher_train"] = {
+        "utterances_per_s_per_chip": round(B / dt, 1),
+        "ms_per_step": round(dt * 1000, 1),
+        "batch": B,
+        "compile_s": round(compile_s, 1),
+    }
+    print(f"teacher_train: {results['teacher_train']}", file=sys.stderr)
+
+
+def bench_student_train(results, quick):
+    import jax
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models.parallel_wavenet import (
+        ParallelWavenet, transplant_teacher_deconv,
+    )
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+    from nsynth_wavenet_tpu.training import train_lib
+
+    te_cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False,
+        upsample_act="leaky_relu", dropout_inputs=True, use_as_teacher=True,
+    )
+    teacher = Wavenet(te_cfg)
+    te_params = teacher.init_params(jax.random.PRNGKey(1))
+    st_cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", use_share_deconv=True, upsample_act="leaky_relu",
+        num_samples=100, power_loss_factor=1.0, contrastive_loss_factor=0.3,
+    )
+    pwn = ParallelWavenet(st_cfg, teacher)
+    params = transplant_teacher_deconv(pwn.init_params(jax.random.PRNGKey(0)), te_params)
+    optimizer = train_lib.make_student_optimizer(st_cfg, params)
+    state = train_lib.make_train_state(params, optimizer)
+    B = 4
+    mesh = mesh_lib.data_mesh_for_batch(B)
+    state = mesh_lib.shard_train_state(state, mesh, spec_fn=lambda p: mesh_lib.P())
+    bs = mesh_lib.batch_sharding(mesh)
+    te_rep = mesh_lib.replicate_tree(te_params, mesh)
+    step = train_lib.jit_pwn_train_step(
+        train_lib.make_pwn_train_step(pwn, te_rep, optimizer), bs
+    )
+    wav, _ = _wav_mel(B, st_cfg.wave_length)
+    wav = jax.device_put(wav, bs)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step(state, wav, wav, key)
+    float(metrics["loss"])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    runs = 5 if quick else 10
+    for _ in range(runs):
+        state, metrics = step(state, wav, wav, key)
+        float(metrics["loss"])
+    dt = (time.time() - t0) / runs
+    results["student_train"] = {
+        "utterances_per_s_per_chip": round(B / dt, 1),
+        "ms_per_step": round(dt * 1000, 1),
+        "batch": B,
+        "compile_s": round(compile_s, 1),
+    }
+    print(f"student_train: {results['student_train']}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="", help="comma list: ar,iaf,teacher,student")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+    results = {}
+    if only is None or "ar" in only:
+        bench_ar(results, args.quick)
+    if only is None or "iaf" in only:
+        bench_iaf(results, args.quick)
+    if only is None or "teacher" in only:
+        bench_teacher_train(results, args.quick)
+    if only is None or "student" in only:
+        bench_student_train(results, args.quick)
+    print(json.dumps(results, indent=2))

@@ -15,7 +15,12 @@ if __name__ == "__main__":
                         help="output wav directory")
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--sample_length", default=-1, type=int,
+                        help="truncate input wavs to this many samples")
+    parser.add_argument("--npy_only", action="store_true",
+                        help="use only .npy (precomputed mel) inputs")
     args = parser.parse_args()
     evaluation.generate_parallel_wavenet(
-        args.source_path, args.ckpt_dir, args.save_path, args.batch_size, args.seed
+        args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
+        args.seed, sample_length=args.sample_length, npy_only=args.npy_only,
     )

@@ -225,6 +225,8 @@ def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
         parts.append(f"pl{cfg.power_loss_factor:g}")
     if getattr(cfg, "contrastive_loss_factor", 0.0):
         parts.append(f"cl{cfg.contrastive_loss_factor:g}")
+    if getattr(cfg, "grad_clip", False):
+        parts.append("GC")
     if exp_tag:
         parts.append(exp_tag)
     return "-".join(parts)

@@ -203,6 +203,20 @@ class Dataset:
 
         return _Iter()
 
+    def sequential_batches(self, batch_size: int, length: int):
+        """Single-epoch, in-order batches with front-of-record crops — the
+        reference reader's is_training=False path (reader.py:98-105).
+        Yields float32 [<=batch_size, length]."""
+        n = len(self.records)
+        for start in range(0, n, batch_size):
+            idx = range(start, min(start + batch_size, n))
+            out = np.zeros((len(idx), length), np.float32)
+            for j, i in enumerate(idx):
+                o, l = int(self._offsets[i]), int(self._lengths[i])
+                take = min(l, length)
+                out[j, :take] = self.data[o : o + take]
+            yield out
+
     def get_init_batch(self, batch_size: int, seq_len: int, first_n: int = 1000, seed: int = 0):
         """Random crops from the first ``first_n`` records, for data-dependent
         init (reference auxilaries/reader.py:117-137)."""

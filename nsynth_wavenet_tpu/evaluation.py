@@ -15,24 +15,24 @@ from nsynth_wavenet_tpu.utils import logging_utils
 log = logging_utils.get_logger()
 
 
-def discover_files(source_path: str):
-    """source_path: a .wav/.npy file or a directory of them
-    (reference eval_wavenet.py:33-44)."""
+def discover_files(source_path: str, npy_only: bool = False):
+    """source_path: a .wav/.npy file or a directory of them; .wav preferred
+    when both exist unless npy_only (reference eval_wavenet.py:33-47)."""
     if os.path.isdir(source_path):
-        files = sorted(
-            glob.glob(os.path.join(source_path, "*.wav"))
-            + glob.glob(os.path.join(source_path, "*.npy"))
-        )
+        wavs = sorted(glob.glob(os.path.join(source_path, "*.wav")))
+        npys = sorted(glob.glob(os.path.join(source_path, "*.npy")))
+        files = npys if (npy_only or not wavs) else wavs
     else:
         files = [source_path]
     assert files, f"no .wav/.npy inputs under {source_path}"
     return files
 
 
-def load_mel_batch(files, sample_length: int = 64000):
+def load_mel_batch(files, sample_length: int = -1):
     """Load wavs (or precomputed [T, num_mel] .npy mels), pad to the batch
     max length, return the mel batch [B, T, num_mel]
-    (reference fastgen.py:17-52 + batch_melspectrogram)."""
+    (reference fastgen.py:17-52 + batch_melspectrogram).  sample_length > 0
+    truncates each wav (reference --sample_length)."""
     from nsynth_wavenet_tpu.ops import stft as stft_ops
 
     is_npy = os.path.splitext(files[0])[1] == ".npy"
@@ -46,7 +46,7 @@ def load_mel_batch(files, sample_length: int = 64000):
     waves = []
     for f in files:
         wav, _ = data_lib.read_wav(f, expect_sr=16000)
-        waves.append(wav[:sample_length])
+        waves.append(wav[:sample_length] if sample_length > 0 else wav)
     max_len = max(len(w) for w in waves)
     batch = np.zeros((len(waves), max_len), np.float32)
     for i, w in enumerate(waves):
@@ -102,8 +102,14 @@ def load_eval_model(ckpt_dir: str):
     return model, params
 
 
-def generate_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
-    """AR teacher synthesis over a file batch (reference eval_wavenet.py)."""
+def generate_wavenet(
+    source_path, ckpt_dir, save_path, batch_size=4, seed=0, use_pallas=False,
+    sample_length=-1, npy_only=False,
+):
+    """AR teacher synthesis over a file batch (reference eval_wavenet.py).
+
+    use_pallas: serve through the fused Pallas kernel (needs batch % 8 == 0
+    and lane-aligned model widths)."""
     import jax
 
     from nsynth_wavenet_tpu.models.fastgen import Fastgen
@@ -111,15 +117,22 @@ def generate_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
     model, params = load_eval_model(ckpt_dir)
     fg = Fastgen(model)
     os.makedirs(save_path, exist_ok=True)
-    files = discover_files(source_path)
+    files = discover_files(source_path, npy_only)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
-        mel = load_mel_batch(chunk)
+        mel = load_mel_batch(chunk, sample_length)
         t0 = time.time()
-        audio = np.asarray(
-            jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(seed + i))
-        )
+        if use_pallas:
+            if mel.shape[0] % 8 != 0:
+                mel = np.pad(mel, ((0, -mel.shape[0] % 8), (0, 0), (0, 0)))
+            audio = np.asarray(
+                jax.jit(fg.generate_pallas)(params, mel, seed + i)
+            )[: len(chunk)]
+        else:
+            audio = np.asarray(
+                jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(seed + i))
+            )
         dt = time.time() - t0
         audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
         log.info(
@@ -134,7 +147,10 @@ def generate_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
     return outputs
 
 
-def generate_parallel_wavenet(source_path, ckpt_dir, save_path, batch_size=4, seed=0):
+def generate_parallel_wavenet(
+    source_path, ckpt_dir, save_path, batch_size=4, seed=0,
+    sample_length=-1, npy_only=False,
+):
     """One-shot student synthesis with the Delay metric
     (reference eval_parallel_wavenet.py + parallelgen.py:43-50)."""
     import jax
@@ -143,12 +159,12 @@ def generate_parallel_wavenet(source_path, ckpt_dir, save_path, batch_size=4, se
 
     model, params = load_eval_model(ckpt_dir)
     os.makedirs(save_path, exist_ok=True)
-    files = discover_files(source_path)
+    files = discover_files(source_path, npy_only)
     synth = parallelgen.jit_synthesize(model)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
-        mel = load_mel_batch(chunk)
+        mel = load_mel_batch(chunk, sample_length)
         t0 = time.time()
         audio = np.asarray(synth(params, mel, jax.random.PRNGKey(seed + i)))
         dt = time.time() - t0

@@ -319,7 +319,6 @@ class ParallelWavenet:
         logistic perturbations x_xp ~ L(mean_tot, scale_tot) are evaluated
         under the teacher's (broadcast) MoL params.
         """
-        teacher = self.teacher
         cfg = self.cfg
         x = ff_dict["x"]
         mean = ff_dict["mean_tot"]
@@ -352,7 +351,6 @@ class ParallelWavenet:
     def kl_loss_gauss(self, teacher_params, ff_dict):
         """Closed-form per-step KL(N_q || N_p) + 4*mean((logσp - logσq)^2)
         (reference parallel_wavenet.py:404-428)."""
-        teacher = self.teacher
         x = ff_dict["x"]
         mean_q = ff_dict["mean_tot"]
         scale_q = ff_dict["scale_tot"]

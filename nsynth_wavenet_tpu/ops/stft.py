@@ -212,6 +212,15 @@ def melspec_from_spec(spec: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarr
     return spec @ basis.T
 
 
+def melspectrogram2(y: jnp.ndarray, p: MelParams = MEL_PARAMS) -> jnp.ndarray:
+    """The reference's alternate "new" mel extractor (tf_melspectrogram2,
+    auxilaries/mel_extractor.py:165-169, selected by USE_NEW_MEL_EXTRACTOR):
+    pad-end STFT (tf.signal convention) instead of centered, then
+    mel -> amp_to_db -> clip-normalize."""
+    spec = jnp.abs(stft_pad_end(y, p))
+    return db_normalize(amp_to_db(melspec_from_spec(spec, p), p), p)
+
+
 def num_mel_frames(length: int, p: MelParams = MEL_PARAMS) -> int:
     """Frame count produced by :func:`melspectrogram` for a signal length."""
     return 1 + length // p.hop_length

@@ -95,6 +95,26 @@ def test_melspectrogram_shape_range():
     assert stft.num_mel_frames(7680) == 39
 
 
+def test_melspectrogram_np_matches_jnp():
+    rng = np.random.RandomState(7)
+    y = (0.3 * rng.randn(2, 7680)).astype(np.float32)
+    np.testing.assert_allclose(
+        stft.melspectrogram_np(y), np.asarray(stft.melspectrogram(y)), atol=2e-4
+    )
+
+
+def test_melspectrogram2_pad_end_variant():
+    """USE_NEW_MEL_EXTRACTOR path: pad-end STFT frames, same normalization."""
+    rng = np.random.RandomState(8)
+    y = (0.3 * rng.randn(7680)).astype(np.float32)
+    mel2 = np.asarray(stft.melspectrogram2(y))
+    assert mel2.shape == (39, 80)
+    assert 0.0 <= mel2.min() and mel2.max() <= 1.0
+    # differs from the centered extractor (different framing)
+    mel1 = np.asarray(stft.melspectrogram(y))
+    assert np.abs(mel1 - mel2).max() > 1e-3
+
+
 def test_melspectrogram_sine_peak_location():
     # A 1 kHz sine must peak in the mel band whose center is nearest 1 kHz.
     sr = 16000

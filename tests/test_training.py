@@ -198,6 +198,18 @@ def test_dataset_build_and_load(tmp_path):
     it.close()
 
 
+def test_sequential_batches(tmp_path):
+    """Eval-reader path: in-order, single-epoch, front-of-record crops
+    (reference reader.py is_training=False)."""
+    data_lib.make_synthetic_dataset(str(tmp_path / "ds"), n_records=5, length=9000)
+    ds = data_lib.Dataset(str(tmp_path / "ds"))
+    batches = list(ds.sequential_batches(2, 7680))
+    assert [b.shape[0] for b in batches] == [2, 2, 1]
+    assert all(b.shape[1] == 7680 for b in batches)
+    # deterministic and in record order
+    np.testing.assert_array_equal(batches[0][0], ds.get_record(0)[:7680])
+
+
 def test_spec_feat_mean_std(tmp_path):
     data_lib.make_synthetic_dataset(str(tmp_path / "ds"), n_records=6, length=9000)
     mean, std = data_lib.spec_feat_mean_std(
