@@ -18,7 +18,10 @@ tests/test_wavenet.py::test_causality_of_out_params and the fastgen parity
 tests).  Real speech is stochastic enough that mel carries unique
 information.
 
-Usage: python tools/quality_smoke.py [--steps 3000] [--out_dir /tmp/qs]
+Usage: python tools/quality_smoke.py [--steps 30000] [--out_dir /tmp/qs]
+(~4 min of training on one v5e at the default steps; the spectral-flatness
+criterion needs >= ~30k steps to pass — fewer steps still validate the
+loss criteria but leave the free-run audio noisier than the threshold)
 """
 
 import argparse
@@ -180,7 +183,7 @@ def main(steps, out_dir):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", default=3000, type=int)
+    ap.add_argument("--steps", default=30000, type=int)
     ap.add_argument("--out_dir", default="/tmp/quality_smoke")
     args = ap.parse_args()
     sys.exit(main(args.steps, args.out_dir))
