@@ -29,11 +29,11 @@ SMALL = dict(
 B, L = 8, 96
 
 
-def _setup(loss_type, use_mu_law, seed=0):
+def _setup(loss_type, use_mu_law, seed=0, double_gate=False):
     cfg = config_lib.WavenetConfig(
         loss_type=loss_type,
         use_mu_law=use_mu_law,
-        double_gate_width=False,
+        double_gate_width=double_gate,
         upsample_act="leaky_relu",
         **SMALL,
     )
@@ -48,10 +48,12 @@ def _setup(loss_type, use_mu_law, seed=0):
 
 
 @pytest.mark.parametrize(
-    "loss_type,use_mu_law", [("mol", False), ("gauss", False), ("ce", True)]
+    "loss_type,use_mu_law,double_gate",
+    [("mol", False, False), ("gauss", False, False), ("ce", True, False),
+     ("ce", True, True)],  # double gate = the reference wavenet_ce default
 )
-def test_kernel_matches_xla_teacher_forced(loss_type, use_mu_law):
-    cfg, model, params, wav, mel = _setup(loss_type, use_mu_law)
+def test_kernel_matches_xla_teacher_forced(loss_type, use_mu_law, double_gate):
+    cfg, model, params, wav, mel = _setup(loss_type, use_mu_law, double_gate=double_gate)
     fg = Fastgen(model)
     enc, _ = model.deconv_stack(params, jnp.asarray(mel))
     off = (enc.shape[1] - 1280) // 2

@@ -127,6 +127,38 @@ def test_tensor_parallel_step_runs():
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]), rtol=1e-5)
 
 
+def test_weight_norm_resize_conv_training():
+    """Weight-norm + resize-conv variant: ddi then train steps stay finite
+    and decrease (covers the reference's use_weight_norm/use_resize_conv
+    config combinations end to end)."""
+    cfg = config_lib.WavenetConfig(
+        use_mu_law=True,
+        loss_type="ce",
+        use_weight_norm=True,
+        use_resize_conv=True,
+        upsample_act="relu",
+        **TINY,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    wav = np.clip(0.3 * rng.standard_normal((4, 1280)), -0.99, 0.99).astype(np.float32)
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
+
+    mel = stft_ops.melspectrogram_np(wav)
+    _, params = train_lib.run_data_dep_init(model, params, wav, mel)
+    optimizer = opt_lib.make_optimizer(cfg.lr_schedule)
+    state = train_lib.make_train_state(params, optimizer)
+    step_fn = jax.jit(train_lib.make_wavenet_train_step(model, optimizer))
+    first = None
+    for _ in range(40):
+        state, metrics = step_fn(state, wav, jax.random.PRNGKey(0))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last) and last < first
+
+
 def test_sequence_parallel_step_matches():
     """2 data x 2 model x 2 seq mesh: time-axis (sequence-parallel) sharded
     step must reproduce the unsharded loss — XLA inserts the dilated convs'
