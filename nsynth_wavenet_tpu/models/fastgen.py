@@ -122,6 +122,19 @@ class Fastgen:
             w = w.astype(dtype)
         return w, jnp.concatenate(biases)
 
+    def init_carry(self, batch: int, rng):
+        """Fresh generation state: zeroed ring buffers (== the reference's
+        zero-filled queues), zero previous sample, the PRNG key, global t=0."""
+        cfg = self.cfg
+        buffers = {
+            "x": jnp.zeros((batch, 2, 1), jnp.float32),
+            "layers": [
+                jnp.zeros((batch, 2 * 2 ** (i % cfg.num_stages), cfg.width), jnp.float32)
+                for i in range(cfg.num_layers)
+            ],
+        }
+        return (buffers, jnp.zeros((batch,), jnp.float32), rng, jnp.zeros((), jnp.int32))
+
     def generate(
         self,
         params,
@@ -133,6 +146,9 @@ class Fastgen:
         cond_offset: int = 0,
         collect_out_params: bool = False,
         precompute_cond: Optional[bool] = None,
+        encoding: Optional[jnp.ndarray] = None,
+        carry_in=None,
+        return_carry: bool = False,
     ):
         """Synthesize audio for a mel batch.  Returns float wav [B, L]
         (or (wav, out_params) when collect_out_params).
@@ -149,6 +165,10 @@ class Fastgen:
         (O(layers*B*T*gate_width) memory, less in-scan compute) vs compute
         it per step with one stacked matmul (enables large batches).  Auto
         by memory estimate when None.
+        encoding / carry_in / return_carry: streaming mode — pass an
+        already-upsampled encoding chunk and the carry from the previous
+        chunk; one compiled program then serves utterances of any length
+        (see generate_streaming).
         """
         cfg = self.cfg
         num_layers = cfg.num_layers
@@ -157,20 +177,27 @@ class Fastgen:
         m = gate_width // 2
         half = cfg.quant_chann // 2
         dtype = self.model.dtype
-        B = mel.shape[0]
+        B = mel.shape[0] if encoding is None else encoding.shape[0]
 
         if precompute_cond is None:
-            enc_frames = mel.shape[1] * cfg.frame_shift
-            est_bytes = num_layers * B * enc_frames * gate_width * 4
+            frames = mel.shape[1] * cfg.frame_shift if encoding is None else encoding.shape[1]
+            est_bytes = num_layers * B * frames * gate_width * 4
             precompute_cond = est_bytes <= 2 * 1024**3
 
-        if precompute_cond:
-            _, conds, cond_out1 = self.precompute_conditioning(params, mel)
-            enc_len = conds.shape[2]
-        else:
+        if encoding is None:
             encoding, _ = self.model.deconv_stack(params, mel)
+        if precompute_cond:
+            conds = jnp.stack(
+                [
+                    conv_ops.conv1d(lp["mel_cond"], encoding, dtype=dtype)
+                    for lp in params["layers"]
+                ],
+                axis=0,
+            )
+            cond_out1 = conv_ops.conv1d(params["mel_cond_out1"], encoding, dtype=dtype)
+        else:
             cond_w, cond_b = self._stacked_cond_weights(params, dtype)
-            enc_len = encoding.shape[1]
+        enc_len = encoding.shape[1]
         L = (enc_len - cond_offset) if length is None else length
         assert L + cond_offset <= enc_len, (L, cond_offset, enc_len)
 
@@ -178,13 +205,7 @@ class Fastgen:
 
         # ring buffers: input taps for conv_start over the scalar wav input,
         # and per-layer taps over the residual activations l.
-        buffers = {
-            "x": jnp.zeros((B, 2, 1), jnp.float32),
-            "layers": [
-                jnp.zeros((B, 2 * 2 ** (i % cfg.num_stages), width), jnp.float32)
-                for i in range(num_layers)
-            ],
-        }
+        buffers = None if carry_in is not None else self.init_carry(B, rng)[0]
 
         def read_write(buf, t, dilation, new_val):
             """Read states at t-2d and t-d, then write new_val at slot t mod 2d.
@@ -202,8 +223,9 @@ class Fastgen:
             return s2d, sd, new_buf
 
         def step(carry, t):
-            bufs, prev_sample, key = carry
+            bufs, prev_sample, key, t0 = carry
             key, sample_key = jax.random.split(key)
+            tg = t + t0  # global time (ring-buffer slot phase)
 
             if teacher_force is not None:
                 prev_sample = jnp.where(
@@ -220,7 +242,7 @@ class Fastgen:
                 x_scaled = prev_sample
             x_in = x_scaled[:, None]  # [B, 1]
 
-            s2d, sd, new_xbuf = read_write(bufs["x"], t, 1, x_in)
+            s2d, sd, new_xbuf = read_write(bufs["x"], tg, 1, x_in)
             stack = jnp.concatenate([s2d, sd, x_in], axis=1)  # [B, 3]
             l = _mm(stack, *sw["conv_start"])  # [B, width]
 
@@ -239,7 +261,7 @@ class Fastgen:
             new_lbufs = []
             for i in range(num_layers):
                 dilation = 2 ** (i % cfg.num_stages)
-                s2d, sd, nb = read_write(bufs["layers"][i], t, dilation, l)
+                s2d, sd, nb = read_write(bufs["layers"][i], tg, dilation, l)
                 new_lbufs.append(nb)
                 stack = jnp.concatenate([s2d, sd, l], axis=1)  # [B, 3*width]
                 lw = sw["layers"][i]
@@ -267,17 +289,71 @@ class Fastgen:
             else:
                 audio = sig.inv_cast_quantize(q, cfg.quant_chann)
 
-            new_carry = ({"x": new_xbuf, "layers": new_lbufs}, audio, key)
+            new_carry = ({"x": new_xbuf, "layers": new_lbufs}, audio, key, t0)
             emit = (audio, out) if collect_out_params else audio
             return new_carry, emit
 
-        init = (buffers, jnp.zeros((B,), jnp.float32), rng)
+        if carry_in is None:
+            init = (buffers, jnp.zeros((B,), jnp.float32), rng, jnp.zeros((), jnp.int32))
+        else:
+            init = carry_in
         # unroll amortizes scan iteration overhead (~10% on v5e)
-        _, emitted = jax.lax.scan(step, init, jnp.arange(L), unroll=4)
+        final_carry, emitted = jax.lax.scan(step, init, jnp.arange(L), unroll=4)
+        final_carry = (final_carry[0], final_carry[1], final_carry[2], final_carry[3] + L)
         if collect_out_params:
             audio, outs = emitted
-            return jnp.transpose(audio), jnp.transpose(outs, (1, 0, 2))
-        return jnp.transpose(emitted)  # [L, B] -> [B, L]
+            out_tuple = (jnp.transpose(audio), jnp.transpose(outs, (1, 0, 2)))
+        else:
+            out_tuple = jnp.transpose(emitted)  # [L, B] -> [B, L]
+        if return_carry:
+            return out_tuple, final_carry
+        return out_tuple
+
+    def generate_streaming(
+        self,
+        params,
+        mel,
+        rng,
+        length: Optional[int] = None,
+        *,
+        chunk: int = 2000,
+        precompute_cond: bool = False,
+    ) -> jnp.ndarray:
+        """Serve utterances of ANY length with ONE compiled program.
+
+        The non-streaming paths compile per (batch, length) — minutes of
+        XLA/Mosaic compile per new utterance length on TPU.  Here the scan
+        is compiled once for (batch, chunk) and the generation state (ring
+        buffers + previous sample + PRNG key + global step) carries across
+        chunks, so the chunk function is bit-identical to one long scan.
+        """
+        cfg = self.cfg
+        encoding, _ = self.model.deconv_stack(params, mel)
+        B, enc_len = encoding.shape[0], encoding.shape[1]
+        L = enc_len if length is None else length
+        n_chunks = -(-L // chunk)
+        pad = n_chunks * chunk - enc_len
+        if pad > 0:
+            encoding = jnp.pad(encoding, ((0, 0), (0, pad), (0, 0)))
+
+        chunk_fn = jax.jit(
+            lambda p, enc, c: self.generate(
+                p,
+                None,
+                None,
+                encoding=enc,
+                carry_in=c,
+                return_carry=True,
+                precompute_cond=precompute_cond,
+            )
+        )
+        carry = self.init_carry(B, rng)
+        pieces = []
+        for ci in range(n_chunks):
+            enc_chunk = jax.lax.dynamic_slice_in_dim(encoding, ci * chunk, chunk, axis=1)
+            audio, carry = chunk_fn(params, enc_chunk, carry)
+            pieces.append(audio)
+        return jnp.concatenate(pieces, axis=1)[:, :L]
 
     def generate_pallas(
         self,
@@ -290,6 +366,7 @@ class Fastgen:
         weight_dtype=None,
         greedy: bool = False,
         interpret: bool = False,
+        chunk: Optional[int] = None,
     ) -> jnp.ndarray:
         """Fused-kernel synthesis (ops/fastgen_kernel.py): the whole scan —
         weight streaming, ring-buffer DMA, sampling — inside ONE Pallas
@@ -299,6 +376,9 @@ class Fastgen:
 
         Requires filter_length 3, lane-aligned widths (multiples of 128),
         and batch a multiple of 8.  Returns float wav [B, L].
+
+        chunk: compile one kernel for (batch, chunk) and stream the
+        generation state across chunks — any utterance length, one compile.
         """
         from nsynth_wavenet_tpu.ops import fastgen_kernel as fk
 
@@ -315,11 +395,29 @@ class Fastgen:
             weight_dtype = jnp.bfloat16
         kw = fk.build_kernel_weights(cfg, params, weight_dtype=weight_dtype)
         kw.pop("out_pad"), kw.pop("out_pad_seg")
-        gen = fk.make_generate_fn(
-            cfg, B, L, weight_dtype=weight_dtype, greedy=greedy, interpret=interpret
-        )
         enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
-        return gen(kw, enc_t, seed)
+
+        if chunk is None:
+            gen = fk.cached_generate_fn(
+                cfg, B, L, weight_dtype=weight_dtype, greedy=greedy, interpret=interpret
+            )
+            return gen(kw, enc_t, seed)
+
+        # streaming: one kernel compiled for (B, chunk) serves any length
+        n_chunks = -(-L // chunk)
+        pad = n_chunks * chunk - L
+        if pad > 0:
+            enc_t = jnp.pad(enc_t, ((0, pad), (0, 0), (0, 0)))
+        gen = fk.cached_generate_fn(
+            cfg, B, chunk, weight_dtype=weight_dtype, greedy=greedy,
+            interpret=interpret, streaming=True,
+        )
+        state = None
+        pieces = []
+        for ci in range(n_chunks):
+            audio, state = gen(kw, enc_t[ci * chunk : (ci + 1) * chunk], seed, state=state)
+            pieces.append(audio)
+        return jnp.concatenate(pieces, axis=1)[:, :L]
 
     def generate_from_wav(self, params, wav, rng):
         """Host-free end-to-end: raw wav batch -> mel -> synthesis (the

@@ -24,6 +24,8 @@ implementation; this kernel is validated against it via teacher-forced
 out_params parity (tests) and used by Fastgen.generate(use_pallas=True).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 from nsynth_wavenet_tpu.ops import conv as conv_ops
 
 LANE = 128
+
+
+def cached_generate_fn(cfg, batch, length, **kw):
+    """lru-cached wrapper so repeated calls with the same static signature
+    reuse one pallas_call (and therefore one compiled executable)."""
+    return _cached_generate_fn(cfg, batch, length, tuple(sorted(kw.items())))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_generate_fn(cfg, batch, length, kw_items):
+    return make_generate_fn(cfg, batch, length, **dict(kw_items))
 
 
 def _round_up(x, m):
@@ -164,12 +177,16 @@ def make_generate_fn(
     teacher_forced: bool = False,
     collect_out_params: bool = False,
     interpret: bool = False,
+    streaming: bool = False,
 ):
     """Build the jittable pallas generation function for a fixed (cfg, B, L).
 
     Returns fn(kernel_weights, enc_t [L, B, dw] bf16, seed int32)
       -> audio [B, L] f32 (and out_params [B, L, out_pad] if collecting).
     teacher_forced adds a leading arg tf [L, B] f32 (ground-truth feedback).
+    streaming: fn takes/returns generation state (lbuf, xh, t0) so chunks of
+    length L chain bit-identically into arbitrarily long utterances with one
+    compiled kernel.
     """
     NL = cfg.num_layers
     width, gw, skip, dw = cfg.width, cfg.gate_width, cfg.skip_width, cfg.deconv_width
@@ -182,6 +199,7 @@ def make_generate_fn(
     tot_slots = int(offs[-1])
     L_pad = _round_up(length, 8)
     is_int8 = weight_dtype == jnp.int8
+    assert not (streaming and collect_out_params)
     # static head layout (must NOT come from the weights pytree: under jit
     # its leaves are tracers and BlockSpec shapes must be python ints)
     out_pad_seg = _round_up(
@@ -210,11 +228,15 @@ def make_generate_fn(
         wout2_ref = refs[i]; i += 1
         bout2_ref = refs[i]; i += 1
         lbuf_in_ref = refs[i]; i += 1
+        if streaming:
+            xh_in_ref = refs[i]; i += 1
         if teacher_forced:
             tf_ref = refs[i]; i += 1
         # outputs
         audio_ref = refs[i]; i += 1
         lbuf_ref = refs[i]; i += 1  # aliased with lbuf_in_ref
+        if streaming:
+            xh_out_ref = refs[i]; i += 1
         if collect_out_params:
             outp_ref = refs[i]; i += 1
         # scratch
@@ -229,11 +251,19 @@ def make_generate_fn(
         br_sem = refs[i]; i += 1      # (2, 2)
         bw_sem = refs[i]; i += 1      # (2,)
 
-        t = pl.program_id(0)
+        tl = pl.program_id(0)  # chunk-local time (enc/audio/tf indexing)
+        if streaming:
+            t = tl + seed_ref[1]  # global time: ring phase + PRNG chain
 
-        @pl.when(t == 0)
-        def _init():
-            xh[...] = jnp.zeros((8, B), jnp.float32)
+            @pl.when(tl == 0)
+            def _init():
+                xh[...] = xh_in_ref[...]
+        else:
+            t = tl
+
+            @pl.when(t == 0)
+            def _init():
+                xh[...] = jnp.zeros((8, B), jnp.float32)
 
         def start_layer_dmas(li, slot):
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).start()
@@ -398,7 +428,7 @@ def make_generate_fn(
         else:
             audio = qv / float(half)
 
-        audio_ref[pl.ds(jax.lax.rem(t, 8), 1), :] = audio[None, :]
+        audio_ref[pl.ds(jax.lax.rem(tl, 8), 1), :] = audio[None, :]
 
         # next-step input (teacher forcing overrides the feedback)
         if teacher_forced:
@@ -415,11 +445,13 @@ def make_generate_fn(
         xh[0] = xh[1]
         xh[1] = xh[2]
         xh[2] = x_next
+        if streaming:
+            xh_out_ref[...] = xh[...]
 
     # ---- specs ----
     grid = (length,)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed] or [seed, t0]
         pl.BlockSpec((1, B, dw), lambda t: (t, 0, 0)),  # enc_t
         pl.BlockSpec(memory_space=pltpu.ANY),  # w_comb
         pl.BlockSpec((NL, gw), lambda t: (0, 0)),  # b_comb
@@ -440,13 +472,16 @@ def make_generate_fn(
         pl.BlockSpec((1, skip), lambda t: (0, 0)),  # b_out1
     ]
 
-    def build(kw):
+    def build():
         specs = list(in_specs)
         specs += [
             pl.BlockSpec((skip, out_pad), lambda t: (0, 0)),  # w_out2
             pl.BlockSpec((1, out_pad), lambda t: (0, 0)),  # b_out2
             pl.BlockSpec(memory_space=pltpu.ANY),  # lbuf in
         ]
+        lbuf_arg_index = len(specs) - 1
+        if streaming:
+            specs.append(pl.BlockSpec((8, B), lambda t: (0, 0)))  # xh in
         if teacher_forced:
             specs.append(pl.BlockSpec((1, B), lambda t: (t, 0)))
         out_shape = [
@@ -457,10 +492,12 @@ def make_generate_fn(
             pl.BlockSpec((8, B), lambda t: (t // 8, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ]
+        if streaming:
+            out_shape.append(jax.ShapeDtypeStruct((8, B), jnp.float32))  # xh out
+            out_specs.append(pl.BlockSpec((8, B), lambda t: (0, 0)))
         if collect_out_params:
             out_shape.append(jax.ShapeDtypeStruct((L_pad, 1, B, out_pad), jnp.float32))
             out_specs.append(pl.BlockSpec((1, 1, B, out_pad), lambda t: (t, 0, 0, 0)))
-        lbuf_arg_index = len(specs) - (2 if teacher_forced else 1)
 
         scratch = [
             pltpu.VMEM((8, B), jnp.float32),  # xh
@@ -486,12 +523,28 @@ def make_generate_fn(
             interpret=interpret,
         )
 
-    def generate(kw, enc_t, seed, tf=None):
+    # built once per make_generate_fn: reusing the same pallas_call object
+    # lets jax cache the compiled executable across chunk/utterance calls
+    call = build()
+
+    def generate(kw, enc_t, seed, tf=None, state=None):
         """kw: build_kernel_weights output; enc_t [L, B, dw] bf16 (already
-        offset-trimmed); seed: int32 scalar; tf [L, B] f32 if teacher_forced."""
-        call = build(kw)
-        seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
-        lbuf0 = jnp.zeros((tot_slots, B, width), jnp.bfloat16)
+        offset-trimmed); seed: int32 scalar; tf [L, B] f32 if teacher_forced;
+        state: (lbuf, xh, t0) when streaming (None for a fresh utterance)."""
+        if streaming:
+            if state is None:
+                state = (
+                    jnp.zeros((tot_slots, B, width), jnp.bfloat16),
+                    jnp.zeros((8, B), jnp.float32),
+                    jnp.zeros((), jnp.int32),
+                )
+            lbuf0, xh0, t0 = state
+            seed_arr = jnp.stack(
+                [jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32)]
+            )
+        else:
+            lbuf0 = jnp.zeros((tot_slots, B, width), jnp.bfloat16)
+            seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
         enc_t = enc_t.astype(jnp.bfloat16)
         args = [seed_arr, enc_t, kw["w_comb"], kw["b_comb"], kw["w_rs"], kw["b_rs"]]
         if is_int8:
@@ -500,12 +553,17 @@ def make_generate_fn(
             kw["w_start"], kw["b_start"], kw["w_skip0"], kw["b_skip0"],
             kw["w_out1"], kw["b_out1"], kw["w_out2"], kw["b_out2"], lbuf0,
         ]
+        if streaming:
+            args.append(state[1])
         if teacher_forced:
             assert tf is not None
             tf_pad = jnp.zeros((L_pad, B), jnp.float32).at[:length].set(tf)
             args.append(tf_pad)
         outs = call(*args)
         audio = outs[0][:length].T  # [B, L]
+        if streaming:
+            new_state = (outs[1], outs[2], state[2] + length)
+            return audio, new_state
         if collect_out_params:
             return audio, jnp.transpose(outs[2][:length, 0], (1, 0, 2))
         return audio

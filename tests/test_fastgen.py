@@ -91,6 +91,24 @@ def test_generate_shape_range_determinism():
     assert np.abs(audio - audio3).max() > 0
 
 
+def test_streaming_equals_full_generation():
+    """Chunked generation with carried state must be bit-identical to one
+    long scan (same ring-buffer phases, same PRNG chain)."""
+    cfg = config_lib.WavenetConfig(use_mu_law=True, loss_type="ce", **SMALL)
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    _, mel = _wav_mel(length=1280)  # enc len 1400
+    fg = Fastgen(model)
+    full = np.asarray(
+        fg.generate(params, mel, jax.random.PRNGKey(5), length=1200, precompute_cond=False)
+    )
+    streamed = np.asarray(
+        fg.generate_streaming(params, mel, jax.random.PRNGKey(5), length=1200, chunk=256)
+    )
+    assert streamed.shape == full.shape == (2, 1200)
+    np.testing.assert_array_equal(streamed, full)
+
+
 def test_generate_default_length_is_encoding_length():
     cfg = config_lib.WavenetConfig(use_mu_law=True, loss_type="ce", **SMALL)
     model = Wavenet(cfg)

@@ -114,6 +114,22 @@ def test_kernel_int8_close_to_bf16():
     assert err.max() < 0.05 * scale, (err.max(), scale)
 
 
+def test_pallas_streaming_equals_full():
+    """Chunked pallas generation (state carried through lbuf/xh/t0) must be
+    bit-identical to the single-kernel run in greedy mode."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    full = np.asarray(
+        fg.generate_pallas(params, mel, seed=3, length=96, greedy=True, interpret=True)
+    )
+    chunked = np.asarray(
+        fg.generate_pallas(
+            params, mel, seed=3, length=96, greedy=True, interpret=True, chunk=32
+        )
+    )
+    np.testing.assert_array_equal(full, chunked)
+
+
 def test_generate_pallas_entrypoint():
     cfg, model, params, wav, mel = _setup("mol", False)
     fg = Fastgen(model)
