@@ -73,9 +73,13 @@ def test_reconstruction_and_scale():
     assert np.asarray(ff["scale_tot"]).min() > 0
     # length snapped to a multiple of max_dilation
     assert x.shape == (2, pwn.sample_length(mel.shape[1]))
-    # manual final init: initial scale_tot should be small (~0.05-ish), the
-    # design constant justified by reference tests/test_scale.py
-    assert np.asarray(ff["scale_tot"]).mean() < 0.5
+    # manual final init: per-flow scale ~ softplus(-0.3) = 0.554, so
+    # scale_tot ~ 0.554^num_flows — the ~0.05 design constant matching
+    # LJSpeech amplitude statistics (reference tests/test_scale.py:38-58,
+    # Readme.md:116-119; here 2 flows -> ~0.31)
+    expected = float(jax.nn.softplus(-0.3)) ** pwn.num_flows
+    got = float(np.asarray(ff["scale_tot"]).mean())
+    assert 0.3 * expected < got < 3.0 * expected, (got, expected)
 
 
 def test_manual_final_bias_value():
