@@ -167,6 +167,7 @@ def train_wavenet(
     step_fn = train_lib.jit_train_step(
         train_lib.make_wavenet_train_step(model, optimizer), bs
     )
+    cond_gap_fn = train_lib.make_cond_gap_fn(model)
 
     writer = logging_utils.MetricsWriter(run_dir)
     it = ds.batch_iterator(
@@ -190,10 +191,13 @@ def train_wavenet(
                 t_last, s_last = now, step
                 m["steps_per_sec"] = sps
                 m["utterances_per_sec"] = sps * total_batch_size
+                if total_batch_size > 1:
+                    # conditioning-usage diagnostic (~0 = collapse)
+                    m["cond_gap"] = float(cond_gap_fn(state["params"], wav))
                 writer.write(step, m)
                 log.info(
-                    "step %d loss %.4f lr %.2e (%.2f steps/s)",
-                    step, m["loss"], m["learning_rate"], sps,
+                    "step %d loss %.4f lr %.2e cond_gap %.4f (%.2f steps/s)",
+                    step, m["loss"], m["learning_rate"], m.get("cond_gap", 0.0), sps,
                 )
             if step % ckpt_every_steps == 0 or step == target:
                 mgr.save(step, jax.device_get(state))

@@ -75,6 +75,22 @@ def make_wavenet_train_step(model, optimizer: optax.GradientTransformation, *, m
     return step_fn
 
 
+def make_cond_gap_fn(model):
+    """Diagnostic: teacher-forced loss with matched mel minus the loss with
+    another utterance's mel (batch rolled by one).  Near zero = the model is
+    ignoring its conditioning (conditioning collapse) — invisible in the
+    training loss, catastrophic at synthesis.  Logged every LOG_EVERY steps.
+    """
+
+    def gap_fn(params, wav):
+        mel = stft_ops.melspectrogram(wav)
+        matched = model.forward_loss(params, wav, mel)["loss"]
+        mismatched = model.forward_loss(params, wav, jnp.roll(mel, 1, axis=0))["loss"]
+        return mismatched - matched
+
+    return jax.jit(gap_fn)
+
+
 def jit_train_step(step_fn, batch_sharding=None, donate_state: Optional[bool] = None):
     """jit the step; batch arrives with the data-axis sharding, state keeps
     whatever placement it was given at init (layouts propagate).
