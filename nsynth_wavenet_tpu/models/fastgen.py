@@ -91,6 +91,39 @@ class Fastgen:
     def __init__(self, model: Wavenet):
         self.model = model
         self.cfg = model.cfg
+        self._bucketed_deconv_cache = {}
+
+    def _bucketed_encoding(self, params, mel, mel_bucket: int):
+        """Deconv the mel through the length-agnostic bucketed stack: mel is
+        zero-padded to the next multiple of ``mel_bucket`` frames and the
+        real frame count passed as a traced scalar, so ONE compile per
+        (batch, bucket count) serves every mel length (the plain deconv
+        recompiles per length — ~10 s each on TPU).  Output matches
+        deconv_stack exactly on the real prefix (see
+        wavenet.apply_deconv_stack_any_length)."""
+        from nsynth_wavenet_tpu.models import wavenet as wavenet_lib
+
+        cfg = self.cfg
+        B, T, _ = mel.shape
+        T_pad = -(-T // mel_bucket) * mel_bucket
+        if T_pad > T:
+            mel = jnp.pad(mel, ((0, 0), (0, T_pad - T), (0, 0)))
+        key = (B, T_pad)
+        fn = self._bucketed_deconv_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, m, n: wavenet_lib.apply_deconv_stack_any_length(
+                    p["deconv"],
+                    m,
+                    n,
+                    deconv_config=cfg.deconv_config,
+                    upsample_act=cfg.upsample_act,
+                    use_resize_conv=cfg.use_resize_conv,
+                    dtype=self.model.dtype,
+                )
+            )
+            self._bucketed_deconv_cache[key] = fn
+        return fn(params, mel, jnp.int32(T)), T * cfg.frame_shift
 
     def precompute_conditioning(self, params, mel):
         """mel [B, T, num_mel] -> per-layer conditioning for every timestep.
@@ -318,6 +351,7 @@ class Fastgen:
         *,
         chunk: int = 2000,
         precompute_cond: bool = False,
+        mel_bucket: Optional[int] = 64,
     ) -> jnp.ndarray:
         """Serve utterances of ANY length with ONE compiled program.
 
@@ -326,13 +360,20 @@ class Fastgen:
         is compiled once for (batch, chunk) and the generation state (ring
         buffers + previous sample + PRNG key + global step) carries across
         chunks, so the chunk function is bit-identical to one long scan.
+        The mel-upsampling deconv is likewise compiled once per
+        ``mel_bucket``-frame bucket via the exact padded/masked stack
+        (pass mel_bucket=None for the plain per-length deconv).
         """
         cfg = self.cfg
-        encoding, _ = self.model.deconv_stack(params, mel)
-        B, enc_len = encoding.shape[0], encoding.shape[1]
+        if mel_bucket is not None:
+            encoding, real_len = self._bucketed_encoding(params, mel, mel_bucket)
+            B, enc_len = encoding.shape[0], real_len
+        else:
+            encoding, _ = self.model.deconv_stack(params, mel)
+            B, enc_len = encoding.shape[0], encoding.shape[1]
         L = enc_len if length is None else length
         n_chunks = -(-L // chunk)
-        pad = n_chunks * chunk - enc_len
+        pad = n_chunks * chunk - encoding.shape[1]
         if pad > 0:
             encoding = jnp.pad(encoding, ((0, 0), (0, pad), (0, 0)))
 
@@ -367,6 +408,7 @@ class Fastgen:
         greedy: bool = False,
         interpret: bool = False,
         chunk: Optional[int] = None,
+        mel_bucket: Optional[int] = 64,
     ) -> jnp.ndarray:
         """Fused-kernel synthesis (ops/fastgen_kernel.py): the whole scan —
         weight streaming, ring-buffer DMA, sampling — inside ONE Pallas
@@ -386,8 +428,12 @@ class Fastgen:
         assert cfg.filter_length == 3
         B = mel.shape[0]
         assert B % 8 == 0, "pallas path needs batch % 8 == 0"
-        encoding, _ = self.model.deconv_stack(params, mel)
-        enc_len = encoding.shape[1]
+        if chunk is not None and mel_bucket is not None:
+            # streaming serving: deconv also compiled once per mel bucket
+            encoding, enc_len = self._bucketed_encoding(params, mel, mel_bucket)
+        else:
+            encoding, _ = self.model.deconv_stack(params, mel)
+            enc_len = encoding.shape[1]
         L = (enc_len - cond_offset) if length is None else length
         assert L + cond_offset <= enc_len
 
@@ -395,19 +441,21 @@ class Fastgen:
             weight_dtype = jnp.bfloat16
         kw = fk.build_kernel_weights(cfg, params, weight_dtype=weight_dtype)
         kw.pop("out_pad"), kw.pop("out_pad_seg")
-        enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
 
         if chunk is None:
+            enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
             gen = fk.cached_generate_fn(
                 cfg, B, L, weight_dtype=weight_dtype, greedy=greedy, interpret=interpret
             )
             return gen(kw, enc_t, seed)
 
-        # streaming: one kernel compiled for (B, chunk) serves any length
+        # streaming: one kernel compiled for (B, chunk) serves any length;
+        # per-chunk slice+transpose uses fixed shapes (dynamic start index)
+        # so nothing here recompiles for a new utterance length.
         n_chunks = -(-L // chunk)
-        pad = n_chunks * chunk - L
-        if pad > 0:
-            enc_t = jnp.pad(enc_t, ((0, pad), (0, 0), (0, 0)))
+        need = cond_offset + n_chunks * chunk
+        if need > encoding.shape[1]:
+            encoding = jnp.pad(encoding, ((0, 0), (0, need - encoding.shape[1]), (0, 0)))
         gen = fk.cached_generate_fn(
             cfg, B, chunk, weight_dtype=weight_dtype, greedy=greedy,
             interpret=interpret, streaming=True,
@@ -415,7 +463,10 @@ class Fastgen:
         state = None
         pieces = []
         for ci in range(n_chunks):
-            audio, state = gen(kw, enc_t[ci * chunk : (ci + 1) * chunk], seed, state=state)
+            enc_chunk = jax.lax.dynamic_slice_in_dim(
+                encoding, cond_offset + ci * chunk, chunk, axis=1
+            )
+            audio, state = gen(kw, jnp.transpose(enc_chunk, (1, 0, 2)), seed, state=state)
             pieces.append(audio)
         return jnp.concatenate(pieces, axis=1)[:, :L]
 

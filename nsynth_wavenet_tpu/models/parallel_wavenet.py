@@ -440,6 +440,59 @@ class ParallelWavenet:
         kl = self.kl_loss_logistic(teacher_params, ff_cl, rng, num_samples)
         return {"contrastive_loss": -kl["kl_loss"]}
 
+    def kl_and_contrastive_fused(
+        self, teacher_params, ff_dict, rng_kl, rng_cl, num_samples: int = 100
+    ):
+        """kl_loss_logistic + contrastive_loss with ONE teacher pass.
+
+        The reference computes the contrastive term by a second full teacher
+        scoring run on (x, mel_rand) (parallel_wavenet.py:481-490 calling
+        :361-402 again).  Both runs score the SAME student sample x and differ
+        only in the conditioning mel, and the teacher's convs never mix batch
+        entries — so stacking [mel; mel_rand] into a 2B batch and running the
+        teacher (and the MoL sample broadcast) once computes identical
+        quantities with one fused XLA region instead of two, and one remat
+        recompute in the backward instead of two.
+        """
+        cfg = self.cfg
+        x = ff_dict["x"]
+        mean = ff_dict["mean_tot"]
+        scale = ff_dict["scale_tot"]
+        log_scale = ff_dict["log_scale_tot"]
+        B, L = x.shape
+
+        x_scaled = self._clip_or_not(x)
+        mel_both = jnp.concatenate([ff_dict["mel"], ff_dict["mel_rand"]], axis=0)
+        x_both = jnp.concatenate([x_scaled, x_scaled], axis=0)
+        te_mol = self._teacher_out_params(teacher_params, x_both, mel_both)  # [2B, L, 3*mix]
+
+        rl = jnp.concatenate(
+            [
+                dist.logistic_0_1(rng_kl, (B, num_samples, L)),
+                dist.logistic_0_1(rng_cl, (B, num_samples, L)),
+            ],
+            axis=0,
+        )
+        scale2 = jnp.concatenate([scale, scale], axis=0)
+        mean2 = jnp.concatenate([mean, mean], axis=0)
+        x_xp = rl * scale2[:, None, :] + mean2[:, None, :]
+        x_xp_scaled = self._clip_or_not(x_xp)
+
+        log_te_probs = dist.mol_log_probs(
+            te_mol[:, None, :, :], x_xp_scaled, cfg.quant_chann
+        )  # [2B, S, L]
+        H_per_batch = -jnp.mean(log_te_probs, axis=(1, 2))  # [2B]
+        H_Ps_Pt = jnp.mean(H_per_batch[:B])
+        H_Ps_Pt_rand = jnp.mean(H_per_batch[B:])
+
+        H_Ps = jnp.mean(log_scale) + 2.0
+        return {
+            "kl_loss": H_Ps_Pt - H_Ps,
+            "H_Ps": H_Ps,
+            "H_Ps_Pt": H_Ps_Pt,
+            "contrastive_loss": -(H_Ps_Pt_rand - H_Ps),
+        }
+
     def calculate_loss(self, teacher_params, ff_dict, rng, norm_stats=None):
         """Assemble kl + plf*power (+ clf*contrastive)
         (reference parallel_wavenet.py:492-512).
@@ -449,20 +502,27 @@ class ParallelWavenet:
         cfg = self.cfg
         if cfg.loss_type == "logistic":
             rng_kl, rng_cl = jax.random.split(rng)
-            loss_dict = self.kl_loss_logistic(teacher_params, ff_dict, rng_kl, cfg.num_samples)
             clf = cfg.contrastive_loss_factor
+            if clf > 0.0:
+                # fused: one 2B teacher pass scores both the matched and the
+                # mismatched conditioning (see kl_and_contrastive_fused)
+                loss_dict = self.kl_and_contrastive_fused(
+                    teacher_params, ff_dict, rng_kl, rng_cl, cfg.num_samples
+                )
+            else:
+                loss_dict = self.kl_loss_logistic(
+                    teacher_params, ff_dict, rng_kl, cfg.num_samples
+                )
         else:
             loss_dict = self.kl_loss_gauss(teacher_params, ff_dict)
-            clf, rng_cl = 0.0, None
+            clf = 0.0
         loss = loss_dict["kl_loss"]
         if cfg.power_loss_factor > 0.0:
             pl = self.power_loss(ff_dict, norm_stats)
             loss = loss + cfg.power_loss_factor * pl["power_loss"]
             loss_dict.update(pl)
         if clf > 0.0:
-            cl = self.contrastive_loss(teacher_params, ff_dict, rng_cl, cfg.num_samples)
-            loss = loss + clf * cl["contrastive_loss"]
-            loss_dict.update(cl)
+            loss = loss + clf * loss_dict["contrastive_loss"]
         loss_dict["loss"] = loss
         return loss_dict
 

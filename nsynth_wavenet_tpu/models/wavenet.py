@@ -96,6 +96,50 @@ def apply_deconv_stack(
     return h, new_params
 
 
+def apply_deconv_stack_any_length(
+    params,
+    mel,
+    num_frames,
+    *,
+    deconv_config,
+    upsample_act: str,
+    use_resize_conv: bool,
+    dtype=None,
+):
+    """Length-agnostic deconv stack: ``mel`` [B, T_pad, C] is padded to a
+    fixed bucket length and ``num_frames`` (a traced int32 scalar) marks the
+    real prefix.  Returns encoding [B, T_pad * prod(strides), deconv_width]
+    whose first ``num_frames * prod(strides)`` positions equal
+    ``apply_deconv_stack`` on the unpadded mel (mathematically exact; XLA's
+    shape-dependent scheduling leaves float-rounding-level differences
+    ~1e-7), and zero beyond.
+
+    Why exact: both upsampling convs are linear in their input, so zeroed
+    padding frames contribute nothing, and masking each activation's padded
+    tail to zero reproduces precisely the implicit zero edge-padding the
+    unpadded run would have seen (trans conv pads ``stride-1+fwd_pad_left``
+    zeros on the right; resize conv's SAME pad likewise).  This removes the
+    per-mel-length recompile of the streaming paths: one compile per
+    (batch, bucket) serves every real length <= bucket.
+    """
+    act = conv_ops.get_upsample_act(upsample_act)
+    h = mel
+    real = num_frames
+    for i, (_, stride) in enumerate(deconv_config):
+        # zero the padded tail so it cannot leak into real outputs
+        idx = jnp.arange(h.shape[1])
+        h = jnp.where(idx[None, :, None] < real, h, 0.0)
+        p = params[f"up_{i + 1}"]
+        if use_resize_conv:
+            h = conv_ops.resize_conv1d(p, h, stride=stride, dtype=dtype)
+        else:
+            h = conv_ops.trans_conv1d(p, h, stride=stride, dtype=dtype)
+        h = act(h)
+        real = real * stride
+    idx = jnp.arange(h.shape[1])
+    return jnp.where(idx[None, :, None] < real, h, 0.0)
+
+
 class Wavenet:
     """Stateless model object: holds only the (hashable, frozen) config.
 

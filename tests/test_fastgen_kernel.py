@@ -124,10 +124,19 @@ def test_pallas_streaming_equals_full():
     )
     chunked = np.asarray(
         fg.generate_pallas(
-            params, mel, seed=3, length=96, greedy=True, interpret=True, chunk=32
+            params, mel, seed=3, length=96, greedy=True, interpret=True, chunk=32,
+            mel_bucket=None,
         )
     )
     np.testing.assert_array_equal(full, chunked)
+    # bucketed-deconv streaming: mathematically the same encoding, float
+    # rounding differs (~1e-7) -> greedy audio agrees to tolerance
+    bucketed = np.asarray(
+        fg.generate_pallas(
+            params, mel, seed=3, length=96, greedy=True, interpret=True, chunk=32,
+        )
+    )
+    np.testing.assert_allclose(bucketed, full, atol=1e-3)
 
 
 def test_generate_pallas_entrypoint():

@@ -116,6 +116,37 @@ def test_logistic_distillation_loss_and_grads():
         assert np.all(np.isfinite(np.asarray(g))), jax.tree_util.keystr(path)
 
 
+def test_fused_kl_contrastive_matches_separate():
+    """kl_and_contrastive_fused (one stacked 2B teacher pass) must equal the
+    two independent kl_loss_logistic runs it replaces, given the same rngs."""
+    te_model, te_params = _teacher("mol")
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic",
+        power_loss_factor=0.0,
+        contrastive_loss_factor=0.3,
+        use_share_deconv=True,
+        **ST_SMALL,
+    )
+    pwn = ParallelWavenet(cfg, te_model)
+    params = pwn.init_params(jax.random.PRNGKey(0))
+    wav, mel = _wav_mel()
+    _, mel_rand = _wav_mel(seed=5)
+
+    ff, _ = pwn.feed_forward(params, {"mel": mel}, jax.random.PRNGKey(1))
+    ff.update({"mel": mel, "wav": wav, "mel_rand": mel_rand})
+    rng_kl, rng_cl = jax.random.split(jax.random.PRNGKey(2))
+
+    fused = pwn.kl_and_contrastive_fused(te_params, ff, rng_kl, rng_cl, cfg.num_samples)
+    kl = pwn.kl_loss_logistic(te_params, ff, rng_kl, cfg.num_samples)
+    cl = pwn.contrastive_loss(te_params, ff, rng_cl, cfg.num_samples)
+
+    np.testing.assert_allclose(float(fused["kl_loss"]), float(kl["kl_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(fused["H_Ps_Pt"]), float(kl["H_Ps_Pt"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(fused["contrastive_loss"]), float(cl["contrastive_loss"]), rtol=1e-5
+    )
+
+
 def test_gauss_distillation_loss_and_grads():
     te_model, te_params = _teacher("gauss")
     cfg = config_lib.ParallelWavenetConfig(

@@ -160,3 +160,41 @@ def test_dropout_variants_run():
             tmodel.forward_loss(params, wav, mel, dropout_rng=jax.random.PRNGKey(1))["loss"]
         )
         np.testing.assert_allclose(l3, l2, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_resize_conv", [False, True])
+def test_bucketed_deconv_matches_unpadded(use_resize_conv):
+    """apply_deconv_stack_any_length on a zero-padded mel must equal the
+    plain stack exactly on the real prefix and be zero beyond (this is what
+    makes streaming generation compile once per bucket, not per length)."""
+    from nsynth_wavenet_tpu.models.wavenet import (
+        apply_deconv_stack, apply_deconv_stack_any_length, init_deconv_stack,
+    )
+
+    cfg = config_lib.WavenetConfig(
+        use_resize_conv=use_resize_conv, upsample_act="leaky_relu", **SMALL
+    )
+    params = init_deconv_stack(
+        jax.random.PRNGKey(3), cfg.deconv_config, 80, cfg.deconv_width, True
+    )
+    _, mel = _batch()
+    T = mel.shape[1]
+    up = cfg.frame_shift
+
+    ref, _ = apply_deconv_stack(
+        params, mel,
+        deconv_config=cfg.deconv_config, upsample_act=cfg.upsample_act,
+        use_resize_conv=use_resize_conv,
+    )
+    mel_pad = jnp.pad(jnp.asarray(mel), ((0, 0), (0, 13), (0, 0)))
+    out = apply_deconv_stack_any_length(
+        params, mel_pad, jnp.int32(T),
+        deconv_config=cfg.deconv_config, upsample_act=cfg.upsample_act,
+        use_resize_conv=use_resize_conv,
+    )
+    # equality is mathematical, not bit-exact: XLA schedules the padded-shape
+    # conv differently, giving float-rounding-level differences (~1e-7)
+    np.testing.assert_allclose(
+        np.asarray(out[:, : T * up]), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    assert np.all(np.asarray(out[:, T * up :]) == 0.0)
