@@ -25,6 +25,10 @@ import numpy as np
 def main():
     import jax
 
+    from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from nsynth_wavenet_tpu import config as config_lib
     from nsynth_wavenet_tpu.models.fastgen import Fastgen
     from nsynth_wavenet_tpu.models.wavenet import Wavenet
@@ -41,7 +45,11 @@ def main():
     fg = Fastgen(model)
 
     sr = 16000
-    batch = 128  # serving batch: fills the MXU rows; cond computed per step
+    # serving batch: AR generation re-streams ~60 MB of step weights from HBM
+    # every sample regardless of batch, so throughput rises with B until the
+    # per-sample matmul cost catches up — measured 86/100/111.5 audio-sec/s
+    # at B=128/256/512 (benchmarks/batch_sweep_ar.py); 1024 fails to compile
+    batch = 512
     seconds = 1.0
     length = int(sr * seconds)
     rng = np.random.RandomState(0)

@@ -6,6 +6,9 @@ from argparse import ArgumentParser
 from nsynth_wavenet_tpu import evaluation
 
 if __name__ == "__main__":
+    from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = ArgumentParser()
     parser.add_argument("--source_path", required=True,
                         help="wav/npy file or directory")

@@ -6,6 +6,9 @@ from argparse import ArgumentParser
 from nsynth_wavenet_tpu.training import runner
 
 if __name__ == "__main__":
+    from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = ArgumentParser()
     parser.add_argument("--config", default="", help="Student config json")
     parser.add_argument("--train_path", required=True, help="Dataset directory")
