@@ -151,6 +151,21 @@ def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
     }
 
 
+def _quant_rows_dyn(x):
+    """Per-row (per-batch-sample) symmetric int8 quantization of a [B, K]
+    activation block: returns (q int8, r [B, 1] f32) with x ~= q * r.
+
+    Used by the W8A8 path so both matmul operands are int8 and the MXU runs
+    in native int8 (2x bf16 throughput; int32 accumulation) — dequantizing
+    the weights to bf16 in-kernel is VPU-bound and loses to bf16 at large
+    serving batches (benchmarks/RESULTS.md)."""
+    x = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    r = amax * (1.0 / 127.0)
+    q = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+    return q, r
+
+
 def _uniform_from_bits(bits):
     """uint32 -> float32 uniform in [1e-5, 1 - 1e-5] (reference samplers use
     the same open interval, loss_func.py:168)."""
@@ -310,12 +325,12 @@ def make_generate_fn(
             stack[:, 3 * width :] = enc
 
             if is_int8:
-                acc = jnp.dot(
-                    stack[...].astype(jnp.bfloat16),
-                    wbuf[slot].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
+                q_stack, r_stack = _quant_rows_dyn(stack[...])
+                acc = jnp.dot(q_stack, wbuf[slot], preferred_element_type=jnp.int32)
+                d_pre = (
+                    acc.astype(jnp.float32) * (r_stack * scomb_ref[li])
+                    + bcomb_ref[li][None, :]
                 )
-                d_pre = acc * scomb_ref[li] + bcomb_ref[li][None, :]
             else:
                 d_pre = (
                     jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
@@ -324,13 +339,11 @@ def make_generate_fn(
             gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
 
             if is_int8:
+                q_gate, r_gate = _quant_rows_dyn(gate)
                 rs = (
-                    jnp.dot(
-                        gate.astype(jnp.bfloat16),
-                        rsbuf[slot].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * srs_ref[li]
+                    jnp.dot(q_gate, rsbuf[slot], preferred_element_type=jnp.int32)
+                    .astype(jnp.float32)
+                    * (r_gate * srs_ref[li])
                     + brs_ref[li][None, :]
                 )
             else:
@@ -453,9 +466,9 @@ def make_generate_fn(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed] or [seed, t0]
         pl.BlockSpec((1, B, dw), lambda t: (t, 0, 0)),  # enc_t
-        pl.BlockSpec(memory_space=pltpu.ANY),  # w_comb
+        pl.BlockSpec(memory_space=pl.ANY),  # w_comb
         pl.BlockSpec((NL, gw), lambda t: (0, 0)),  # b_comb
-        pl.BlockSpec(memory_space=pltpu.ANY),  # w_rs
+        pl.BlockSpec(memory_space=pl.ANY),  # w_rs
         pl.BlockSpec((NL, width + skip), lambda t: (0, 0)),  # b_rs
     ]
     if is_int8:
@@ -477,7 +490,7 @@ def make_generate_fn(
         specs += [
             pl.BlockSpec((skip, out_pad), lambda t: (0, 0)),  # w_out2
             pl.BlockSpec((1, out_pad), lambda t: (0, 0)),  # b_out2
-            pl.BlockSpec(memory_space=pltpu.ANY),  # lbuf in
+            pl.BlockSpec(memory_space=pl.ANY),  # lbuf in
         ]
         lbuf_arg_index = len(specs) - 1
         if streaming:
@@ -490,7 +503,7 @@ def make_generate_fn(
         ]
         out_specs = [
             pl.BlockSpec((8, B), lambda t: (t // 8, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         if streaming:
             out_shape.append(jax.ShapeDtypeStruct((8, B), jnp.float32))  # xh out
