@@ -1,0 +1,103 @@
+"""Scratch: decompose the teacher training-step cost on TPU.
+
+benchmarks/ab_dilated_conv.py puts the 30-layer dilated stack alone at
+70.7 ms fwd+bwd (B=8) — this script locates the rest of the measured
+209 ms/step (fwd | fwd+bwd | +Adam/EMA | loss head | mel+deconv).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsynth_wavenet_tpu import config as config_lib
+from nsynth_wavenet_tpu.models.wavenet import Wavenet
+from nsynth_wavenet_tpu.ops import stft
+from nsynth_wavenet_tpu.training import train_lib
+
+
+def _fetch(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[:1].sum())
+
+
+def timeit(name, fn, *args, runs=10):
+    t0 = time.time()
+    _fetch(fn(*args))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(runs):
+        _fetch(fn(*args))
+    dt = (time.time() - t0) / runs * 1000
+    print(f"{name:44s} {dt:8.1f} ms   (compile {compile_s:.1f}s)", file=sys.stderr)
+    return dt
+
+
+def main():
+    from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False,
+        upsample_act="leaky_relu", dropout_inputs=True,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B = 8
+    rng = np.random.RandomState(0)
+    t = np.arange(cfg.wave_length) / 16000.0
+    wav = np.clip(
+        0.3 * np.sin(2 * np.pi * 150 * t)[None] + 0.01 * rng.randn(B, cfg.wave_length),
+        -0.99, 0.99,
+    ).astype(np.float32)
+    mel = stft.melspectrogram_np(wav)
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p, wav, mel, key):
+        return model.forward_loss(p, wav, mel, dropout_rng=key)["loss"]
+
+    timeit("fwd loss", jax.jit(loss_fn), params, wav, mel, key)
+
+    def loss_nodrop(p, wav, mel):
+        return model.forward_loss(p, wav, mel, dropout_rng=None)["loss"]
+
+    timeit("fwd loss, no dropout", jax.jit(loss_nodrop), params, wav, mel)
+
+    def gnorm(g):
+        # single-scalar fetch: a per-leaf fetch costs ~27 ms RTT each on the
+        # tunneled backend and swamps the measurement
+        return sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g))
+
+    timeit("fwd+bwd", jax.jit(lambda *a: gnorm(jax.grad(loss_fn)(*a))),
+           params, wav, mel, key)
+    timeit("fwd+bwd, no dropout",
+           jax.jit(lambda *a: gnorm(jax.grad(loss_nodrop)(*a))), params, wav, mel)
+
+    # mel on device (as in the real step: dataset yields wav, mel in-step)
+    def loss_devmel(p, wav, key):
+        m = stft.melspectrogram(jnp.asarray(wav))
+        return loss_fn(p, wav, m, key)
+
+    timeit("fwd+bwd incl. on-device mel",
+           jax.jit(lambda *a: gnorm(jax.grad(loss_devmel)(*a))),
+           params, wav, key)
+
+    from nsynth_wavenet_tpu.training import optimizer as opt_lib
+
+    optimizer = opt_lib.make_optimizer(cfg.lr_schedule, grad_clip=cfg.grad_clip)
+    state = train_lib.make_train_state(params, optimizer)
+    step = jax.jit(train_lib.make_wavenet_train_step(model, optimizer))
+
+    def full(state, wav, key):
+        new_state, metrics = step(state, wav, key)
+        return metrics["loss"]
+
+    timeit("full train step (mel+fwd+bwd+Adam+EMA)", full, state, wav, key)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,7 @@ def apply_deconv_stack(
     use_resize_conv: bool,
     init: bool = False,
     dtype=None,
+    out_dtype=None,
 ):
     """mel [B, T, num_mel] -> encoding [B, T * frame_shift, deconv_width].
 
@@ -89,9 +90,11 @@ def apply_deconv_stack(
             new_params[name] = p_new
         else:
             if use_resize_conv:
-                h = conv_ops.resize_conv1d(p, h, stride=stride, dtype=dtype)
+                h = conv_ops.resize_conv1d(p, h, stride=stride, dtype=dtype,
+                                           out_dtype=out_dtype)
             else:
-                h = conv_ops.trans_conv1d(p, h, stride=stride, dtype=dtype)
+                h = conv_ops.trans_conv1d(p, h, stride=stride, dtype=dtype,
+                                          out_dtype=out_dtype)
         h = act(h)
     return h, new_params
 
@@ -215,6 +218,7 @@ class Wavenet:
             use_resize_conv=self.cfg.use_resize_conv,
             init=init,
             dtype=None if init else self.dtype,
+            out_dtype=None if init else self.dtype,
         )
         return enc, new_deconv
 
@@ -253,7 +257,12 @@ class Wavenet:
             if init:
                 assert cfg.use_weight_norm, "data-dependent init requires weight norm"
                 return conv_ops.conv1d_ddi(p, x, dilation=dilation, causal=causal)
-            return conv_ops.conv1d(p, x, dilation=dilation, causal=causal, dtype=dtype), p
+            # out_dtype=dtype keeps the whole residual trunk in bf16: the
+            # training step is HBM-bound on activation traffic, not FLOPs
+            # (benchmarks/profile_teacher.py); master params/grads stay f32
+            return conv_ops.conv1d(
+                p, x, dilation=dilation, causal=causal, dtype=dtype, out_dtype=dtype
+            ), p
 
         mel_en, new_params["deconv"] = self.deconv_stack(params, inputs["mel"], init=init)
 
@@ -291,7 +300,9 @@ class Wavenet:
         s = jax.nn.relu(s)
         out, new_params["out2"] = apply(params["out2"], s)
 
-        return {"encoding": mel_en, "out_params": out}, new_params
+        # distribution heads (CE log-softmax, MoL CDF deltas over 2^-16-wide
+        # bins, Gaussian log-pdf) need f32
+        return {"encoding": mel_en, "out_params": out.astype(jnp.float32)}, new_params
 
     # -- loss --------------------------------------------------------------
 

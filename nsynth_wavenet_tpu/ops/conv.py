@@ -89,14 +89,20 @@ def effective_kernel(params) -> jnp.ndarray:
     return params["w"]
 
 
-def _conv(x, w, *, padding, rhs_dilation=(1,), lhs_dilation=(1,), dtype=None):
+def _conv(x, w, *, padding, rhs_dilation=(1,), lhs_dilation=(1,), dtype=None,
+          out_dtype=None):
     """conv_general_dilated with optional bf16 mixed precision.
 
     With a low-precision dtype both operands are cast and the (bf16) result
-    cast back to f32 — the TPU MXU still accumulates bf16 operands in f32
-    internally.  (Casting only the output via preferred_element_type would
-    make the conv non-transposable under jax.grad: the f32 cotangent would
-    meet bf16 operands in the transpose conv.)
+    cast back to ``out_dtype`` (default f32) — the TPU MXU still accumulates
+    bf16 operands in f32 internally.  (Casting only the output via
+    preferred_element_type would make the conv non-transposable under
+    jax.grad: the f32 cotangent would meet bf16 operands in the transpose
+    conv.)  Passing out_dtype=dtype keeps the activation stream in bf16
+    between layers — at training shapes the step is HBM-bound on activation
+    traffic, not MXU FLOPs (benchmarks/profile_teacher.py), so this halves
+    the dominant cost; master weights stay f32 (the w cast's transpose
+    re-accumulates the weight gradient in f32).
     """
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
@@ -110,7 +116,7 @@ def _conv(x, w, *, padding, rhs_dilation=(1,), lhs_dilation=(1,), dtype=None):
         dimension_numbers=_DN,
     )
     if dtype is not None:
-        y = y.astype(jnp.float32)
+        y = y.astype(out_dtype or jnp.float32)
     return y
 
 
@@ -126,6 +132,7 @@ def conv1d(
     dilation: int = 1,
     causal: bool = True,
     dtype: Optional[jnp.dtype] = None,
+    out_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Dilated 1-D conv over [batch, time, channels], length-preserving.
 
@@ -139,8 +146,9 @@ def conv1d(
     else:
         total = (fl - 1) * dilation
         padding = [(total // 2, total - total // 2)]
-    y = _conv(x, w, padding=padding, rhs_dilation=(dilation,), dtype=dtype)
-    return y + params["b"]
+    y = _conv(x, w, padding=padding, rhs_dilation=(dilation,), dtype=dtype,
+              out_dtype=out_dtype)
+    return y + params["b"].astype(y.dtype)
 
 
 def _ddi_rescale(params, y, init_scale: float = WN_INIT_SCALE):
@@ -176,6 +184,7 @@ def trans_conv1d(
     *,
     stride: int,
     dtype: Optional[jnp.dtype] = None,
+    out_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Transposed conv1d with SAME semantics: [B, L, Cin] -> [B, s*L, Cout].
 
@@ -190,8 +199,9 @@ def trans_conv1d(
     fwd_pad_left = (fl - stride) // 2
     pl = fl - 1 - fwd_pad_left
     ph = stride - 1 + fwd_pad_left
-    y = _conv(x, w, padding=[(pl, ph)], lhs_dilation=(stride,), dtype=dtype)
-    return y + params["b"]
+    y = _conv(x, w, padding=[(pl, ph)], lhs_dilation=(stride,), dtype=dtype,
+              out_dtype=out_dtype)
+    return y + params["b"].astype(y.dtype)
 
 
 def trans_conv1d_ddi(params, x, *, stride: int):
@@ -211,11 +221,12 @@ def resize_conv1d(
     *,
     stride: int,
     dtype: Optional[jnp.dtype] = None,
+    out_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Nearest-neighbor ×stride upsample followed by a SAME conv
     (reference masked.py:294-322)."""
     x_up = jnp.repeat(x, stride, axis=1)
-    return conv1d(params, x_up, causal=False, dtype=dtype)
+    return conv1d(params, x_up, causal=False, dtype=dtype, out_dtype=out_dtype)
 
 
 def resize_conv1d_ddi(params, x, *, stride: int):

@@ -423,9 +423,11 @@ def make_generate_fn(
             else:
                 u1 = _uniform_from_bits(pltpu.prng_random_bits(logits.shape))
                 scores = logits - jnp.log(-jnp.log(u1))
+            # iota must be integer-typed for Mosaic ('tpu.iota' rejects f32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1).astype(jnp.float32)
             idx = jnp.sum(
                 (scores == jnp.max(scores, axis=-1, keepdims=True)).astype(jnp.float32)
-                * jax.lax.broadcasted_iota(jnp.float32, logits.shape, 1),
+                * lane,
                 axis=-1,
             )
             qv = idx - half  # value in [-qc/2, qc/2)

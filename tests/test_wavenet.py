@@ -198,3 +198,33 @@ def test_bucketed_deconv_matches_unpadded(use_resize_conv):
         np.asarray(out[:, : T * up]), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
     assert np.all(np.asarray(out[:, T * up :]) == 0.0)
+
+
+def test_bf16_trunk_grads_finite_and_close_to_f32():
+    """compute_dtype=bfloat16 keeps the residual trunk in bf16 end-to-end
+    (ops/conv.py out_dtype); grads must stay f32, finite, and directionally
+    consistent with the f32 model (cosine > 0.9 per leaf)."""
+    wav, mel = _batch()
+    grads = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = config_lib.WavenetConfig(
+            use_mu_law=True, loss_type="ce", **{**SMALL, "compute_dtype": cd}
+        )
+        model = Wavenet(cfg)
+        params = model.init_params(jax.random.PRNGKey(3))
+
+        def loss_fn(p):
+            return model.forward_loss(p, wav, mel)["loss"]
+
+        grads[cd] = jax.grad(loss_fn)(params)
+
+    f32 = jax.tree_util.tree_leaves(grads["float32"])
+    bf = jax.tree_util.tree_leaves(grads["bfloat16"])
+    for a, b in zip(f32, bf):
+        assert b.dtype == jnp.float32  # master grads stay f32
+        assert np.all(np.isfinite(np.asarray(b)))
+        na, nb = float(jnp.linalg.norm(a)), float(jnp.linalg.norm(b))
+        if na < 1e-12 and nb < 1e-12:
+            continue
+        cos = float(jnp.vdot(a, b) / (na * nb + 1e-30))
+        assert cos > 0.9, (a.shape, cos)

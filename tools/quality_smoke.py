@@ -177,13 +177,50 @@ def main(steps, out_dir):
           "module docstring; real-speech corpora do not have this property)")
 
     passed = loss_ok and tf_ok and tonal_ok and mean_corr > 0.4
+
+    # 4. (optional) serving kernels on the TRAINED model: the Pallas bf16 and
+    # W8A8 int8 paths must match the XLA sampler's audio quality metrics —
+    # validates int8 quantization on real weights, not random ones
+    # (docs/ROADMAP.md item 4).
+    if COMPARE_PALLAS:
+        import jax.numpy as jnp
+
+        rep = 32 // mel.shape[0]  # int8 kernel wants >=32 sublanes
+        mel_rep = np.tile(mel, (rep, 1, 1))
+        base_med = float(np.median([r[2] for r in results]))
+        for mode, wd in (("pallas-bf16", jnp.bfloat16), ("pallas-int8", jnp.int8)):
+            audio_p = np.asarray(
+                fg.generate_pallas(params, mel_rep, seed=0, weight_dtype=wd)
+            )[: len(pitches)]
+            flats, corrs = [], []
+            for i, f0 in enumerate(pitches):
+                gen = audio_p[i][: len(t)]
+                write_wav(os.path.join(out_dir, f"gen_{mode}_f{f0}.wav"), gen)
+                spec = np.abs(np.fft.rfft(gen[2000:] * np.hanning(len(gen) - 2000))) + 1e-9
+                flats.append(float(np.exp(np.mean(np.log(spec))) / np.mean(spec)))
+                gen_mel = stft.melspectrogram_np(gen)
+                corrs.append(
+                    float(np.corrcoef(gen_mel.ravel(), mel[i, : gen_mel.shape[0]].ravel())[0, 1])
+                )
+            med_flat, mean_c = float(np.median(flats)), float(np.mean(corrs))
+            ok = med_flat < base_med + 0.1 and mean_c > 0.4
+            print(f"{mode}: median flatness {med_flat:.4f} (xla {base_med:.4f}), "
+                  f"mean mel corr {mean_c:.3f} -> {ok}")
+            passed = passed and ok
+
     print("QUALITY SMOKE:", "PASS" if passed else "FAIL")
     return 0 if passed else 1
 
+
+COMPARE_PALLAS = False
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", default=30000, type=int)
     ap.add_argument("--out_dir", default="/tmp/quality_smoke")
+    ap.add_argument("--compare_pallas", action="store_true",
+                    help="also synthesize with the Pallas bf16 and W8A8 int8 "
+                         "kernels and gate on their quality metrics")
     args = ap.parse_args()
+    COMPARE_PALLAS = args.compare_pallas
     sys.exit(main(args.steps, args.out_dir))
