@@ -1,5 +1,10 @@
-"""A/B the student distillation step: fused KL+contrastive teacher pass
-(current code) vs remat on/off.  Prints ms/step for each variant."""
+"""A/B the student distillation step's flow-trunk dtype (compute_dtype
+float32 vs bfloat16) in ONE process, so tunnel-RTT / compile-service
+variance between sessions cannot confound the comparison.  Also prints the
+measured host round-trip time first (benchmarks/misc_sweep.py rtt).
+
+Usage: python benchmarks/ab_student_dtype.py [runs]
+"""
 
 import os
 import sys
@@ -7,6 +12,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nsynth_wavenet_tpu import config as config_lib
@@ -14,14 +20,23 @@ from nsynth_wavenet_tpu.models.parallel_wavenet import (
     ParallelWavenet, transplant_teacher_deconv,
 )
 from nsynth_wavenet_tpu.models.wavenet import Wavenet
-from nsynth_wavenet_tpu.ops import stft as stft_ops
 from nsynth_wavenet_tpu.training import train_lib
 from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
 
-def bench_step(remat, runs=10):
+def measure_rtt(runs=20):
+    x = jnp.zeros((8, 128))
+    f = jax.jit(lambda a: a + 1.0)
+    np.asarray(f(x))
+    t0 = time.time()
+    for _ in range(runs):
+        np.asarray(f(x))
+    return (time.time() - t0) / runs * 1000
+
+
+def bench_step(compute_dtype, runs):
     te_cfg = config_lib.WavenetConfig(
         loss_type="mol", use_mu_law=False, double_gate_width=False,
         upsample_act="leaky_relu", dropout_inputs=True, use_as_teacher=True,
@@ -31,7 +46,7 @@ def bench_step(remat, runs=10):
     st_cfg = config_lib.ParallelWavenetConfig(
         loss_type="logistic", use_share_deconv=True, upsample_act="leaky_relu",
         num_samples=100, power_loss_factor=1.0, contrastive_loss_factor=0.3,
-        remat_teacher=remat,
+        compute_dtype=compute_dtype,
     )
     pwn = ParallelWavenet(st_cfg, teacher)
     params = transplant_teacher_deconv(pwn.init_params(jax.random.PRNGKey(0)), te_params)
@@ -50,20 +65,30 @@ def bench_step(remat, runs=10):
     state, metrics = step(state, wav, wav, key)
     float(metrics["loss"])
     compile_s = time.time() - t0
-    t0 = time.time()
+    times = []
     for _ in range(runs):
+        t0 = time.time()
         state, metrics = step(state, wav, wav, key)
         float(metrics["loss"])
-    dt = (time.time() - t0) / runs * 1000
+        times.append(time.time() - t0)
+    med = float(np.median(times)) * 1000
     print(
-        f"remat={remat}: {dt:.1f} ms/step ({B / dt * 1000:.1f} utt/s) "
-        f"compile {compile_s:.0f}s loss {float(metrics['loss']):.3f}",
+        f"student[{compute_dtype}]: median {med:.1f} ms/step "
+        f"(mean {np.mean(times)*1e3:.1f}, min {np.min(times)*1e3:.1f}) "
+        f"= {B / np.median(times):.1f} utt/s; compile {compile_s:.0f}s "
+        f"loss {float(metrics['loss']):.3f}",
         file=sys.stderr,
     )
-    return dt
+    return med
+
+
+def main():
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    print(f"rtt: {measure_rtt():.1f} ms", file=sys.stderr)
+    f32 = bench_step("float32", runs)
+    bf16 = bench_step("bfloat16", runs)
+    print(f"bf16/f32 step ratio: {bf16 / f32:.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["true", "false"]
-    for v in variants:
-        bench_step(v == "true")
+    main()

@@ -17,6 +17,9 @@ from nsynth_wavenet_tpu import config as config_lib
 from nsynth_wavenet_tpu.models.fastgen import Fastgen
 from nsynth_wavenet_tpu.models.wavenet import Wavenet
 from nsynth_wavenet_tpu.ops import stft
+from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def main():

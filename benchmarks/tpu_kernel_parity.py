@@ -1,0 +1,116 @@
+"""Real-TPU parity check for the fused Pallas AR kernel.
+
+The interpret-mode tests (tests/test_fastgen_kernel.py) validate data
+correctness but run DMAs synchronously — only a real-TPU run exercises the
+kernel's async-copy race discipline (double-buffered stack operand, direct
+tap DMAs, ring writes sourced from the stack).  This mirrors
+test_kernel_matches_xla_teacher_forced + the streaming bit-identity check
+on hardware with a small lane-aligned config.
+
+Usage: python benchmarks/tpu_kernel_parity.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsynth_wavenet_tpu import config as config_lib
+from nsynth_wavenet_tpu.models.fastgen import Fastgen
+from nsynth_wavenet_tpu.models.wavenet import Wavenet
+from nsynth_wavenet_tpu.ops import fastgen_kernel as fk
+from nsynth_wavenet_tpu.ops import stft
+from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+SMALL = dict(
+    num_layers=4, num_stages=2, width=128, skip_width=128, deconv_width=128,
+    wave_length=1280, compute_dtype="float32",
+)
+B, L = 8, 96
+
+
+def check(loss_type, use_mu_law, weight_dtype):
+    cfg = config_lib.WavenetConfig(
+        loss_type=loss_type, use_mu_law=use_mu_law, double_gate_width=False,
+        upsample_act="leaky_relu", **SMALL,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    t = np.arange(1280) / 16000.0
+    wav = 0.4 * np.sin(2 * np.pi * 220 * t)[None] + 0.05 * rng.randn(B, 1280)
+    wav = np.clip(wav, -0.99, 0.99).astype(np.float32)
+    mel = stft.melspectrogram_np(wav)
+    fg = Fastgen(model)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+
+    _, want = fg.generate(
+        params, mel, jax.random.PRNGKey(1), length=L,
+        teacher_force=jnp.asarray(wav), cond_offset=off, collect_out_params=True,
+    )
+    want = np.asarray(want)
+
+    kw = fk.build_kernel_weights(cfg, params, weight_dtype=weight_dtype)
+    seg = kw.pop("out_pad_seg"); kw.pop("out_pad")
+    gen = fk.make_generate_fn(
+        cfg, B, L, weight_dtype=weight_dtype, teacher_forced=True,
+        collect_out_params=True, greedy=True,
+    )
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    _, outp = gen(kw, enc_t, 123, tf=jnp.transpose(jnp.asarray(wav[:, :L])))
+    outp = np.asarray(outp)
+    if loss_type == "mol":
+        nr = cfg.mol_mix
+        got = np.concatenate(
+            [outp[:, :, s * seg : s * seg + nr] for s in range(3)], axis=-1
+        )
+    else:
+        got = outp[:, :, : cfg.out_width]
+    scale = max(np.abs(want).max(), 1.0)
+    err = np.abs(got - want).max()
+    tol = (5e-3 if weight_dtype == jnp.bfloat16 else 5e-2) * scale
+    status = "OK" if err < tol else "FAIL"
+    print(f"{loss_type}/mu={use_mu_law}/{weight_dtype.__name__}: "
+          f"max_err {err:.5f} (tol {tol:.5f}) {status}", file=sys.stderr)
+    return err < tol
+
+
+def check_streaming():
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False,
+        upsample_act="leaky_relu", **SMALL,
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    wav = np.clip(0.3 * rng.randn(B, 1280), -0.99, 0.99).astype(np.float32)
+    mel = stft.melspectrogram_np(wav)
+    fg = Fastgen(model)
+    full = np.asarray(fg.generate_pallas(params, mel, seed=3, length=96, greedy=True))
+    chunked = np.asarray(
+        fg.generate_pallas(params, mel, seed=3, length=96, greedy=True, chunk=32,
+                           mel_bucket=None)
+    )
+    same = np.array_equal(full, chunked)
+    print(f"streaming bit-identity: {'OK' if same else 'FAIL'}", file=sys.stderr)
+    return same
+
+
+def main():
+    ok = True
+    for lt, mu in (("mol", False), ("ce", True), ("gauss", False)):
+        for wd in (jnp.bfloat16, jnp.int8):
+            ok &= check(lt, mu, wd)
+    ok &= check_streaming()
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

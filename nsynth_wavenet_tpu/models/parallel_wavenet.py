@@ -155,6 +155,7 @@ class ParallelWavenet:
             use_resize_conv=cfg.use_resize_conv,
             init=init,
             dtype=None if init else self.dtype,
+            out_dtype=None if init else self.dtype,
         )
         return enc, new_dp
 
@@ -171,11 +172,19 @@ class ParallelWavenet:
         # manual scale bias so initial scale_tot ~ 0.05 (LJSpeech amplitude)
         final_init = init and not cfg.manual_final_init
 
-        def apply(p, h, *, dilation=1, use_init=None):
+        def apply(p, h, *, dilation=1, use_init=None, head=False):
             eff_init = init if use_init is None else use_init
             if eff_init:
                 return conv_ops.conv1d_ddi(p, h, dilation=dilation)
-            return conv_ops.conv1d(p, h, dilation=dilation, dtype=dtype), p
+            # out_dtype=dtype keeps the flow trunk's activation stream in
+            # bf16 (same HBM-bound rationale as the teacher trunk,
+            # models/wavenet.py apply); the mean/scale heads return f32 so
+            # the IAF composition algebra (scale_tot products, log_scale
+            # sums, reconstruction identity) stays full precision
+            return conv_ops.conv1d(
+                p, h, dilation=dilation, dtype=dtype,
+                out_dtype=None if head else dtype,
+            ), p
 
         l = conv_ops.shift_right(x)
         l, new_fp["start_conv"] = apply(flow_params["start_conv"], l)
@@ -198,9 +207,11 @@ class ParallelWavenet:
         l = wavenet_lib.condition_add(l, c)
         l = jax.nn.relu(l)
 
-        mean, new_fp["out2_mean"] = apply(flow_params["out2_mean"], l, use_init=final_init)
+        mean, new_fp["out2_mean"] = apply(
+            flow_params["out2_mean"], l, use_init=final_init, head=True
+        )
         scale_params, new_fp["out2_scale"] = apply(
-            flow_params["out2_scale"], l, use_init=final_init
+            flow_params["out2_scale"], l, use_init=final_init, head=True
         )
 
         scale, log_scale = self.scale_log_scale(scale_params)

@@ -8,7 +8,11 @@ all recurrent state living across sequential grid steps:
   * per-layer dilation ring buffers in HBM (input/output-aliased), accessed
     with async DMA — read taps at t-d and t-2d, write the new activation at
     slot t mod 2d (same scheme as models/fastgen.py, which itself mirrors
-    the reference's FIFO-queue pair, masked.py:352-359);
+    the reference's FIFO-queue pair, masked.py:352-359).  Tap reads land
+    DIRECTLY in the double-buffered stacked matmul operand and the ring
+    write DMAs straight out of it, so no VPU bounce copies are on the
+    critical path; the conditioning section of the operand is filled once
+    per timestep (it is layer-invariant);
   * per-layer weights streamed HBM->VMEM with double buffering.  AR
     generation is weight-streaming-bound (~60-70 MB re-read per step for the
     full-size teacher), so the mel-conditioning 1x1 kernel is CONCATENATED
@@ -155,10 +159,12 @@ def _quant_rows_dyn(x):
     """Per-row (per-batch-sample) symmetric int8 quantization of a [B, K]
     activation block: returns (q int8, r [B, 1] f32) with x ~= q * r.
 
-    Used by the W8A8 path so both matmul operands are int8 and the MXU runs
-    in native int8 (2x bf16 throughput; int32 accumulation) — dequantizing
-    the weights to bf16 in-kernel is VPU-bound and loses to bf16 at large
-    serving batches (benchmarks/RESULTS.md)."""
+    Used by the W8A8 path for the stacked dilated-conv operand so both
+    matmul operands are int8 and the MXU runs in native int8 (2x bf16
+    throughput; int32 accumulation) — dequantizing the weights to bf16
+    in-kernel is VPU-bound and loses to bf16 at large serving batches
+    (benchmarks/RESULTS.md).  The gate operand skips this dynamic pass:
+    sigmoid*tanh is bounded in (-1, 1), so a static 1/127 scale is exact."""
     x = x.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
     r = amax * (1.0 / 127.0)
@@ -258,9 +264,7 @@ def make_generate_fn(
         xh = refs[i]; i += 1          # [8, B] f32 rows 0..2 = taps
         wbuf = refs[i]; i += 1        # [2, krow, gw]
         rsbuf = refs[i]; i += 1       # [2, m, width+skip]
-        bread = refs[i]; i += 1       # [2, 2, B, width] bf16
-        lwrite = refs[i]; i += 1      # [2, B, width] bf16
-        stack = refs[i]; i += 1       # [B, krow] bf16
+        stack = refs[i]; i += 1       # [2, B, krow] bf16 (double-buffered)
         w_sem = refs[i]; i += 1       # DMA sems (2,)
         rs_sem = refs[i]; i += 1
         br_sem = refs[i]; i += 1      # (2, 2)
@@ -281,6 +285,8 @@ def make_generate_fn(
                 xh[...] = jnp.zeros((8, B), jnp.float32)
 
         def start_layer_dmas(li, slot):
+            # weights double-buffered; dilation-tap reads DMA DIRECTLY into
+            # the stacked matmul operand (no bounce scratch + VPU copy)
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).start()
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).start()
             d = dils[li]
@@ -288,12 +294,20 @@ def make_generate_fn(
             base = offs[li]
             row2 = base + jax.lax.rem(t, size)           # t - 2d state
             row1 = base + jax.lax.rem(t + d, size)       # t - d state
-            pltpu.make_async_copy(lbuf_ref.at[row2], bread.at[slot, 0], br_sem.at[slot, 0]).start()
-            pltpu.make_async_copy(lbuf_ref.at[row1], bread.at[slot, 1], br_sem.at[slot, 1]).start()
+            pltpu.make_async_copy(
+                lbuf_ref.at[row2], stack.at[slot, :, pl.ds(0, width)], br_sem.at[slot, 0]
+            ).start()
+            pltpu.make_async_copy(
+                lbuf_ref.at[row1], stack.at[slot, :, pl.ds(width, width)], br_sem.at[slot, 1]
+            ).start()
 
         start_layer_dmas(0, 0)
 
         enc = enc_ref[0]  # [B, dw] bf16
+        # the conditioning section of the stacked operand is constant across
+        # layers: fill both buffers ONCE per timestep instead of per layer
+        stack[0, :, 3 * width :] = enc
+        stack[1, :, 3 * width :] = enc
 
         # conv_start over the scalar tap history (3 outer products)
         l = (
@@ -307,6 +321,9 @@ def make_generate_fn(
             + bskip0_ref[0][None, :]
         )  # [B, skip] f32
 
+        def lslice(slot):
+            return stack.at[slot, :, pl.ds(2 * width, width)]
+
         for li in range(NL):
             slot = li % 2
             nxt = (li + 1) % 2
@@ -315,17 +332,22 @@ def make_generate_fn(
 
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).wait()
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], lslice(slot), br_sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], lslice(slot), br_sem.at[slot, 1]).wait()
+            # the ring write issued from this slot two layers ago must land
+            # before its source region is overwritten with the new l
+            if li >= 2:
+                pltpu.make_async_copy(lslice(slot), lbuf_ref.at[0], bw_sem.at[slot]).wait()
 
-            l_bf = l.astype(jnp.bfloat16)
-            stack[:, 0:width] = bread[slot, 0]
-            stack[:, width : 2 * width] = bread[slot, 1]
-            stack[:, 2 * width : 3 * width] = l_bf
-            stack[:, 3 * width :] = enc
+            stack[slot, :, 2 * width : 3 * width] = l.astype(jnp.bfloat16)
+            # this layer's input activation (pre-residual l) goes into its
+            # ring slot for steps t+d / t+2d — DMA'd straight from the stack
+            d = dils[li]
+            wrow = offs[li] + jax.lax.rem(t, 2 * d)
+            pltpu.make_async_copy(lslice(slot), lbuf_ref.at[wrow], bw_sem.at[slot]).start()
 
             if is_int8:
-                q_stack, r_stack = _quant_rows_dyn(stack[...])
+                q_stack, r_stack = _quant_rows_dyn(stack[slot])
                 acc = jnp.dot(q_stack, wbuf[slot], preferred_element_type=jnp.int32)
                 d_pre = (
                     acc.astype(jnp.float32) * (r_stack * scomb_ref[li])
@@ -333,17 +355,20 @@ def make_generate_fn(
                 )
             else:
                 d_pre = (
-                    jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
+                    jnp.dot(stack[slot], wbuf[slot], preferred_element_type=jnp.float32)
                     + bcomb_ref[li][None, :]
                 )
             gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
 
             if is_int8:
-                q_gate, r_gate = _quant_rows_dyn(gate)
+                # gate = sigmoid*tanh is bounded in (-1, 1) by construction,
+                # so a STATIC 1/127 scale quantizes it exactly as well as the
+                # dynamic per-row pass while skipping the abs-max reduction
+                q_gate = jnp.round(gate * 127.0).astype(jnp.int8)
                 rs = (
                     jnp.dot(q_gate, rsbuf[slot], preferred_element_type=jnp.int32)
                     .astype(jnp.float32)
-                    * (r_gate * srs_ref[li])
+                    * (srs_ref[li] * (1.0 / 127.0))
                     + brs_ref[li][None, :]
                 )
             else:
@@ -354,22 +379,12 @@ def make_generate_fn(
                     )
                     + brs_ref[li][None, :]
                 )
-            new_l = l + rs[:, :width]
+            l = l + rs[:, :width]
             s = s + rs[:, width:]
 
-            # write this layer's input activation (pre-residual l) into its
-            # ring slot for steps t+d / t+2d
-            if li >= 2:
-                pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
-            lwrite[slot] = l_bf
-            d = dils[li]
-            wrow = offs[li] + jax.lax.rem(t, 2 * d)
-            pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
-            l = new_l
-
-        # drain the last two buffer writes before the next grid step reads
-        pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
-        pltpu.make_async_copy(lwrite.at[(NL - 1) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
+        # drain the last two ring writes before the next grid step reads
+        pltpu.make_async_copy(lslice((NL - 2) % 2), lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
+        pltpu.make_async_copy(lslice((NL - 1) % 2), lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
 
         s = jax.nn.relu(s)
         o1 = (
@@ -447,7 +462,7 @@ def make_generate_fn(
 
         # next-step input (teacher forcing overrides the feedback)
         if teacher_forced:
-            fb = tf_ref[0]
+            fb = tf_ref[pl.ds(jax.lax.rem(tl, 8), 1), :][0]
         else:
             fb = audio
         if cfg.use_mu_law:
@@ -498,7 +513,10 @@ def make_generate_fn(
         if streaming:
             specs.append(pl.BlockSpec((8, B), lambda t: (0, 0)))  # xh in
         if teacher_forced:
-            specs.append(pl.BlockSpec((1, B), lambda t: (t, 0)))
+            # 8-row block (Mosaic sublane rule: a (1, B) block would need
+            # its second-to-last dim divisible by 8); row rem(tl, 8) is
+            # selected dynamically in the kernel, mirroring audio_ref writes
+            specs.append(pl.BlockSpec((8, B), lambda t: (t // 8, 0)))
         out_shape = [
             jax.ShapeDtypeStruct((L_pad, B), jnp.float32),  # audio
             jax.ShapeDtypeStruct((tot_slots, B, width), jnp.bfloat16),  # lbuf
@@ -518,9 +536,7 @@ def make_generate_fn(
             pltpu.VMEM((8, B), jnp.float32),  # xh
             pltpu.VMEM((2, krow, gw), weight_dtype),  # wbuf
             pltpu.VMEM((2, m, width + skip), weight_dtype),  # rsbuf
-            pltpu.VMEM((2, 2, B, width), jnp.bfloat16),  # bread
-            pltpu.VMEM((2, B, width), jnp.bfloat16),  # lwrite
-            pltpu.VMEM((B, krow), jnp.bfloat16),  # stack
+            pltpu.VMEM((2, B, krow), jnp.bfloat16),  # stack (double-buffered)
             pltpu.SemaphoreType.DMA((2,)),  # w_sem
             pltpu.SemaphoreType.DMA((2,)),  # rs_sem
             pltpu.SemaphoreType.DMA((2, 2)),  # br_sem

@@ -222,3 +222,42 @@ def test_parallelgen_synthesize():
     assert audio.shape == (2, pwn.sample_length(mel.shape[1]))
     assert np.abs(audio).max() <= 1.0
     assert np.isfinite(audio).all()
+
+
+def test_bf16_trunk_grad_direction_matches_f32():
+    """Student bf16 flow-trunk (out_dtype=bf16 carriers, f32 mean/scale
+    heads) must produce gradients consistent with the f32 model — same
+    criterion as the teacher's bf16-trunk test (tests/test_wavenet.py)."""
+    te_model, te_params = _teacher("mol")  # teacher f32 in both runs
+    wav, mel = _wav_mel()
+    _, mel_rand = _wav_mel(seed=5)
+    grads = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = config_lib.ParallelWavenetConfig(
+            loss_type="logistic",
+            power_loss_factor=1.0,
+            contrastive_loss_factor=0.3,
+            use_share_deconv=True,
+            **{**ST_SMALL, "compute_dtype": cd},
+        )
+        pwn = ParallelWavenet(cfg, te_model)
+        params = pwn.init_params(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            ff, _ = pwn.feed_forward(p, {"mel": mel}, jax.random.PRNGKey(1))
+            ff.update({"mel": mel, "wav": wav, "mel_rand": mel_rand})
+            return pwn.calculate_loss(te_params, ff, jax.random.PRNGKey(2))["loss"]
+
+        grads[cd] = jax.grad(loss_fn)(params)
+
+    f32 = jax.tree_util.tree_leaves(grads["float32"])
+    bf = jax.tree_util.tree_leaves(grads["bfloat16"])
+    assert len(f32) == len(bf)
+    for a, b in zip(f32, bf):
+        assert b.dtype == jnp.float32  # master grads stay f32
+        assert np.all(np.isfinite(np.asarray(b)))
+        na, nb = float(jnp.linalg.norm(a)), float(jnp.linalg.norm(b))
+        if na < 1e-12 and nb < 1e-12:
+            continue
+        cos = float(jnp.vdot(a, b) / (na * nb + 1e-30))
+        assert cos > 0.9, (a.shape, cos)
