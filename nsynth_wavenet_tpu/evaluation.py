@@ -112,12 +112,18 @@ def generate_wavenet(
     and lane-aligned model widths)."""
     import jax
 
-    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen, jit_generate_sharded
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
 
     model, params = load_eval_model(ckpt_dir)
     fg = Fastgen(model)
     os.makedirs(save_path, exist_ok=True)
     files = discover_files(source_path, npy_only)
+    # multi-chip host: shard the batch over all devices that divide it
+    # (single device -> plain jit; reference instead runs one eval process
+    # per GPU, run_all_eval.py)
+    mesh = mesh_lib.data_mesh_for_batch(batch_size)
+    sharded_gen = None if use_pallas else jit_generate_sharded(fg, mesh)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
@@ -129,7 +135,9 @@ def generate_wavenet(
             audio = np.asarray(
                 jax.jit(fg.generate_pallas)(params, mel, seed + i)
             )[: len(chunk)]
-        else:
+        elif mel.shape[0] == batch_size:
+            audio = np.asarray(sharded_gen(params, mel, jax.random.PRNGKey(seed + i)))
+        else:  # ragged tail batch: plain jit, no resharding constraint
             audio = np.asarray(
                 jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(seed + i))
             )
@@ -156,17 +164,21 @@ def generate_parallel_wavenet(
     import jax
 
     from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
 
     model, params = load_eval_model(ckpt_dir)
     os.makedirs(save_path, exist_ok=True)
     files = discover_files(source_path, npy_only)
     synth = parallelgen.jit_synthesize(model)
+    mesh = mesh_lib.data_mesh_for_batch(batch_size)
+    synth_sharded = parallelgen.jit_synthesize_sharded(model, mesh)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
         mel = load_mel_batch(chunk, sample_length)
         t0 = time.time()
-        audio = np.asarray(synth(params, mel, jax.random.PRNGKey(seed + i)))
+        fn = synth_sharded if mel.shape[0] == batch_size else synth
+        audio = np.asarray(fn(params, mel, jax.random.PRNGKey(seed + i)))
         dt = time.time() - t0
         audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
         log.info(

@@ -28,3 +28,19 @@ def synthesize_from_wav(pwn: ParallelWavenet, params, wav, rng):
 
 def jit_synthesize(pwn: ParallelWavenet):
     return jax.jit(lambda params, mel, rng: synthesize(pwn, params, mel, rng))
+
+
+def jit_synthesize_sharded(pwn: ParallelWavenet, mesh):
+    """Data-parallel one-shot IAF serving over a device mesh (see
+    fastgen.jit_generate_sharded): params replicated, mel/audio batch
+    sharded over the 'data' axis; no cross-chip traffic after broadcast.
+    Counter-based PRNG keeps results bit-identical to single-device."""
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+
+    bs = mesh_lib.batch_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+    return jax.jit(
+        lambda params, mel, rng: synthesize(pwn, params, mel, rng),
+        in_shardings=(rep, bs, rep),
+        out_shardings=bs,
+    )

@@ -8,10 +8,12 @@ all recurrent state living across sequential grid steps:
   * per-layer dilation ring buffers in HBM (input/output-aliased), accessed
     with async DMA — read taps at t-d and t-2d, write the new activation at
     slot t mod 2d (same scheme as models/fastgen.py, which itself mirrors
-    the reference's FIFO-queue pair, masked.py:352-359).  Tap reads land
-    DIRECTLY in the double-buffered stacked matmul operand and the ring
-    write DMAs straight out of it, so no VPU bounce copies are on the
-    critical path; the conditioning section of the operand is filled once
+    the reference's FIFO-queue pair, masked.py:352-359).  Taps bounce
+    through contiguous double-buffered scratch and are re-copied by the VPU
+    into the stacked matmul operand (a direct-DMA-into-strided-columns
+    variant showed no reliable win: the tunneled backend's hour-scale
+    throughput swings exceed the effect size — benchmarks/RESULTS.md
+    "variance").  The conditioning section of the operand is filled once
     per timestep (it is layer-invariant);
   * per-layer weights streamed HBM->VMEM with double buffering.  AR
     generation is weight-streaming-bound (~60-70 MB re-read per step for the
@@ -264,7 +266,9 @@ def make_generate_fn(
         xh = refs[i]; i += 1          # [8, B] f32 rows 0..2 = taps
         wbuf = refs[i]; i += 1        # [2, krow, gw]
         rsbuf = refs[i]; i += 1       # [2, m, width+skip]
-        stack = refs[i]; i += 1       # [2, B, krow] bf16 (double-buffered)
+        bread = refs[i]; i += 1       # [2, 2, B, width] bf16
+        lwrite = refs[i]; i += 1      # [2, B, width] bf16
+        stack = refs[i]; i += 1       # [B, krow] bf16
         w_sem = refs[i]; i += 1       # DMA sems (2,)
         rs_sem = refs[i]; i += 1
         br_sem = refs[i]; i += 1      # (2, 2)
@@ -285,8 +289,10 @@ def make_generate_fn(
                 xh[...] = jnp.zeros((8, B), jnp.float32)
 
         def start_layer_dmas(li, slot):
-            # weights double-buffered; dilation-tap reads DMA DIRECTLY into
-            # the stacked matmul operand (no bounce scratch + VPU copy)
+            # weights and dilation taps double-buffered via contiguous
+            # bounce scratch (DMAing straight into a strided column range
+            # of the stacked operand showed no reliable win under the
+            # backend's measurement variance)
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).start()
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).start()
             d = dils[li]
@@ -294,20 +300,15 @@ def make_generate_fn(
             base = offs[li]
             row2 = base + jax.lax.rem(t, size)           # t - 2d state
             row1 = base + jax.lax.rem(t + d, size)       # t - d state
-            pltpu.make_async_copy(
-                lbuf_ref.at[row2], stack.at[slot, :, pl.ds(0, width)], br_sem.at[slot, 0]
-            ).start()
-            pltpu.make_async_copy(
-                lbuf_ref.at[row1], stack.at[slot, :, pl.ds(width, width)], br_sem.at[slot, 1]
-            ).start()
+            pltpu.make_async_copy(lbuf_ref.at[row2], bread.at[slot, 0], br_sem.at[slot, 0]).start()
+            pltpu.make_async_copy(lbuf_ref.at[row1], bread.at[slot, 1], br_sem.at[slot, 1]).start()
 
         start_layer_dmas(0, 0)
 
         enc = enc_ref[0]  # [B, dw] bf16
         # the conditioning section of the stacked operand is constant across
-        # layers: fill both buffers ONCE per timestep instead of per layer
-        stack[0, :, 3 * width :] = enc
-        stack[1, :, 3 * width :] = enc
+        # layers: fill it ONCE per timestep instead of per layer
+        stack[:, 3 * width :] = enc
 
         # conv_start over the scalar tap history (3 outer products)
         l = (
@@ -321,9 +322,6 @@ def make_generate_fn(
             + bskip0_ref[0][None, :]
         )  # [B, skip] f32
 
-        def lslice(slot):
-            return stack.at[slot, :, pl.ds(2 * width, width)]
-
         for li in range(NL):
             slot = li % 2
             nxt = (li + 1) % 2
@@ -332,22 +330,16 @@ def make_generate_fn(
 
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).wait()
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], lslice(slot), br_sem.at[slot, 0]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], lslice(slot), br_sem.at[slot, 1]).wait()
-            # the ring write issued from this slot two layers ago must land
-            # before its source region is overwritten with the new l
-            if li >= 2:
-                pltpu.make_async_copy(lslice(slot), lbuf_ref.at[0], bw_sem.at[slot]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
 
-            stack[slot, :, 2 * width : 3 * width] = l.astype(jnp.bfloat16)
-            # this layer's input activation (pre-residual l) goes into its
-            # ring slot for steps t+d / t+2d — DMA'd straight from the stack
-            d = dils[li]
-            wrow = offs[li] + jax.lax.rem(t, 2 * d)
-            pltpu.make_async_copy(lslice(slot), lbuf_ref.at[wrow], bw_sem.at[slot]).start()
+            l_bf = l.astype(jnp.bfloat16)
+            stack[:, 0:width] = bread[slot, 0]
+            stack[:, width : 2 * width] = bread[slot, 1]
+            stack[:, 2 * width : 3 * width] = l_bf
 
             if is_int8:
-                q_stack, r_stack = _quant_rows_dyn(stack[slot])
+                q_stack, r_stack = _quant_rows_dyn(stack[...])
                 acc = jnp.dot(q_stack, wbuf[slot], preferred_element_type=jnp.int32)
                 d_pre = (
                     acc.astype(jnp.float32) * (r_stack * scomb_ref[li])
@@ -355,7 +347,7 @@ def make_generate_fn(
                 )
             else:
                 d_pre = (
-                    jnp.dot(stack[slot], wbuf[slot], preferred_element_type=jnp.float32)
+                    jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
                     + bcomb_ref[li][None, :]
                 )
             gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
@@ -379,12 +371,22 @@ def make_generate_fn(
                     )
                     + brs_ref[li][None, :]
                 )
-            l = l + rs[:, :width]
+            new_l = l + rs[:, :width]
             s = s + rs[:, width:]
 
-        # drain the last two ring writes before the next grid step reads
-        pltpu.make_async_copy(lslice((NL - 2) % 2), lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
-        pltpu.make_async_copy(lslice((NL - 1) % 2), lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
+            # write this layer's input activation (pre-residual l) into its
+            # ring slot for steps t+d / t+2d
+            if li >= 2:
+                pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
+            lwrite[slot] = l_bf
+            d = dils[li]
+            wrow = offs[li] + jax.lax.rem(t, 2 * d)
+            pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
+            l = new_l
+
+        # drain the last two buffer writes before the next grid step reads
+        pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
+        pltpu.make_async_copy(lwrite.at[(NL - 1) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
 
         s = jax.nn.relu(s)
         o1 = (
@@ -536,7 +538,9 @@ def make_generate_fn(
             pltpu.VMEM((8, B), jnp.float32),  # xh
             pltpu.VMEM((2, krow, gw), weight_dtype),  # wbuf
             pltpu.VMEM((2, m, width + skip), weight_dtype),  # rsbuf
-            pltpu.VMEM((2, B, krow), jnp.bfloat16),  # stack (double-buffered)
+            pltpu.VMEM((2, 2, B, width), jnp.bfloat16),  # bread
+            pltpu.VMEM((2, B, width), jnp.bfloat16),  # lwrite
+            pltpu.VMEM((B, krow), jnp.bfloat16),  # stack
             pltpu.SemaphoreType.DMA((2,)),  # w_sem
             pltpu.SemaphoreType.DMA((2,)),  # rs_sem
             pltpu.SemaphoreType.DMA((2, 2)),  # br_sem
