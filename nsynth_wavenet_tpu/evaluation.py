@@ -124,6 +124,10 @@ def generate_wavenet(
     # per GPU, run_all_eval.py)
     mesh = mesh_lib.data_mesh_for_batch(batch_size)
     sharded_gen = None if use_pallas else jit_generate_sharded(fg, mesh)
+    if not use_pallas:
+        # commit params to the replicated sharding ONCE — otherwise every
+        # batch re-broadcasts the ~60-70 MB tree to all devices
+        params = mesh_lib.replicate_tree(params, mesh)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
@@ -172,6 +176,8 @@ def generate_parallel_wavenet(
     synth = parallelgen.jit_synthesize(model)
     mesh = mesh_lib.data_mesh_for_batch(batch_size)
     synth_sharded = parallelgen.jit_synthesize_sharded(model, mesh)
+    # commit params to the replicated sharding once (not per batch)
+    params = mesh_lib.replicate_tree(params, mesh)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]

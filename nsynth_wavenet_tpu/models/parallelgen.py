@@ -34,7 +34,10 @@ def jit_synthesize_sharded(pwn: ParallelWavenet, mesh):
     """Data-parallel one-shot IAF serving over a device mesh (see
     fastgen.jit_generate_sharded): params replicated, mel/audio batch
     sharded over the 'data' axis; no cross-chip traffic after broadcast.
-    Counter-based PRNG keeps results bit-identical to single-device."""
+    PRNG is counter-based so the noise draw matches single-device exactly,
+    but SPMD refusion can flip float rounding at quantization-bin
+    boundaries — equality holds to one bin, not bitwise
+    (tests/test_sharded_serving.py)."""
     from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
 
     bs = mesh_lib.batch_sharding(mesh)

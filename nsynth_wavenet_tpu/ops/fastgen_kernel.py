@@ -161,12 +161,13 @@ def _quant_rows_dyn(x):
     """Per-row (per-batch-sample) symmetric int8 quantization of a [B, K]
     activation block: returns (q int8, r [B, 1] f32) with x ~= q * r.
 
-    Used by the W8A8 path for the stacked dilated-conv operand so both
-    matmul operands are int8 and the MXU runs in native int8 (2x bf16
-    throughput; int32 accumulation) — dequantizing the weights to bf16
-    in-kernel is VPU-bound and loses to bf16 at large serving batches
-    (benchmarks/RESULTS.md).  The gate operand skips this dynamic pass:
-    sigmoid*tanh is bounded in (-1, 1), so a static 1/127 scale is exact."""
+    Used by the W8A8 path for both matmul operands so the MXU runs in
+    native int8 (2x bf16 throughput; int32 accumulation) — dequantizing the
+    weights to bf16 in-kernel is VPU-bound and loses to bf16 at large
+    serving batches (benchmarks/RESULTS.md).  The per-row scale matters for
+    the gate operand: sigmoid*tanh is bounded in (-1, 1) so a static scale
+    could not overflow, but quiet rows (amax << 1) would quantize 10-100x
+    coarser without the dynamic pass."""
     x = x.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
     r = amax * (1.0 / 127.0)
@@ -353,14 +354,15 @@ def make_generate_fn(
             gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
 
             if is_int8:
-                # gate = sigmoid*tanh is bounded in (-1, 1) by construction,
-                # so a STATIC 1/127 scale quantizes it exactly as well as the
-                # dynamic per-row pass while skipping the abs-max reduction
-                q_gate = jnp.round(gate * 127.0).astype(jnp.int8)
+                # per-row dynamic scale: gate is bounded in (-1, 1) so a
+                # static 1/127 scale can't overflow, but it is strictly
+                # COARSER for quiet rows (gate amax << 1 during silence),
+                # so the abs-max pass is kept for serving quality
+                q_gate, r_gate = _quant_rows_dyn(gate)
                 rs = (
                     jnp.dot(q_gate, rsbuf[slot], preferred_element_type=jnp.int32)
                     .astype(jnp.float32)
-                    * (srs_ref[li] * (1.0 / 127.0))
+                    * (r_gate * srs_ref[li])
                     + brs_ref[li][None, :]
                 )
             else:
