@@ -56,11 +56,15 @@ def _wav_mel(batch=2, length=1280, seed=0):
     return wav, np.asarray(stft.melspectrogram(wav))
 
 
-def test_reconstruction_and_scale():
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_reconstruction_and_scale(compute_dtype):
     """x == rand_input * scale_tot + mean_tot, scale > 0 (reference
-    tests/test_parallel_wavenet.py:57-64)."""
+    tests/test_parallel_wavenet.py:57-64).  Holds in bf16-carrier mode too:
+    the flow composition algebra runs on the f32 head outputs."""
     te_model, _ = _teacher()
-    cfg = config_lib.ParallelWavenetConfig(loss_type="logistic", **ST_SMALL)
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", **{**ST_SMALL, "compute_dtype": compute_dtype}
+    )
     pwn = ParallelWavenet(cfg, te_model)
     params = pwn.init_params(jax.random.PRNGKey(0))
     _, mel = _wav_mel()
