@@ -505,3 +505,36 @@ def jit_generate_sharded(fastgen: Fastgen, mesh, **gen_kw):
         return fastgen.generate(params, mel, rng, **gen_kw)
 
     return jax.jit(f, in_shardings=(rep, bs, rep), out_shardings=bs)
+
+
+def jit_generate_pallas_sharded(fastgen: Fastgen, mesh, **gen_kw):
+    """Multi-chip serving through the fused Pallas kernel: shard_map over
+    the mesh 'data' axis runs one kernel per chip on its batch shard
+    (pallas_call cannot be auto-partitioned by pjit the way the XLA scan
+    path can, so the batch split is explicit here).
+
+    Each shard folds its data-axis index into the sampling seed so shards
+    draw decorrelated noise; greedy mode is seed-independent and therefore
+    matches the single-chip kernel exactly.  Per-shard batch must be a
+    multiple of 8 (kernel constraint).
+
+    Returns fn(params, mel [B, T, M], seed) -> audio [B, L] batch-sharded.
+    """
+    from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
+
+    P = mesh_lib.P
+
+    def local(params, mel, seed):
+        shard = jax.lax.axis_index(mesh_lib.DATA_AXIS)
+        # odd 32-bit constant decorrelates the per-shard PRNG streams
+        local_seed = seed + shard * jnp.int32(0x61C88647)
+        return fastgen.generate_pallas(params, mel, local_seed, **gen_kw)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+        out_specs=P(mesh_lib.DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)

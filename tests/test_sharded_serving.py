@@ -82,3 +82,33 @@ def test_parallelgen_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded), single, atol=2.0 / cfg.quant_chann, rtol=0
     )
+
+
+def test_fastgen_pallas_sharded_matches_single_kernel():
+    """shard_map'd Pallas serving (one kernel per shard, interpret mode)
+    must reproduce the single-kernel run in greedy mode (greedy is
+    seed-independent, so per-shard seed decorrelation cannot diverge it)."""
+    from nsynth_wavenet_tpu.models.fastgen import jit_generate_pallas_sharded
+
+    # lane-aligned config (kernel constraint: widths % 128, batch % 8/shard)
+    cfg = config_lib.WavenetConfig(
+        loss_type="mol",
+        **{**SMALL, "width": 128, "skip_width": 128, "deconv_width": 128},
+    )
+    model = Wavenet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    fg = Fastgen(model)
+    mel = _mel(batch=16)
+
+    single = np.asarray(
+        fg.generate_pallas(params, mel, seed=5, length=24, greedy=True,
+                           interpret=True, chunk=None, mel_bucket=None)
+    )
+
+    mesh = mesh_lib.make_mesh(n_data=2)
+    gen = jit_generate_pallas_sharded(
+        fg, mesh, length=24, greedy=True, interpret=True, chunk=None,
+        mel_bucket=None,
+    )
+    sharded = np.asarray(gen(params, mel, 5))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
