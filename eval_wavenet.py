@@ -23,9 +23,14 @@ if __name__ == "__main__":
                         help="use only .npy (precomputed mel) inputs")
     parser.add_argument("--pallas", action="store_true",
                         help="serve through the fused Pallas kernel")
+    parser.add_argument("--streaming_chunk", default=0, type=int,
+                        help="with --pallas: chunk size in samples; one "
+                             "compiled kernel then serves any utterance "
+                             "length (0 = off, compile per length)")
     args = parser.parse_args()
     evaluation.generate_wavenet(
         args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
         args.seed, use_pallas=args.pallas,
         sample_length=args.sample_length, npy_only=args.npy_only,
+        streaming_chunk=args.streaming_chunk or None,
     )

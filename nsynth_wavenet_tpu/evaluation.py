@@ -104,12 +104,16 @@ def load_eval_model(ckpt_dir: str):
 
 def generate_wavenet(
     source_path, ckpt_dir, save_path, batch_size=4, seed=0, use_pallas=False,
-    sample_length=-1, npy_only=False,
+    sample_length=-1, npy_only=False, streaming_chunk=None,
 ):
     """AR teacher synthesis over a file batch (reference eval_wavenet.py).
 
     use_pallas: serve through the fused Pallas kernel (needs batch % 8 == 0
-    and lane-aligned model widths)."""
+    and lane-aligned model widths).
+    streaming_chunk: with use_pallas, carry generation state across
+    fixed-size chunks so ONE compiled kernel serves every utterance length
+    in the batch set (otherwise each distinct (batch, length) pays a
+    compile)."""
     import jax
 
     from nsynth_wavenet_tpu.models.fastgen import Fastgen, jit_generate_sharded
@@ -136,9 +140,16 @@ def generate_wavenet(
         if use_pallas:
             if mel.shape[0] % 8 != 0:
                 mel = np.pad(mel, ((0, -mel.shape[0] % 8), (0, 0), (0, 0)))
-            audio = np.asarray(
-                jax.jit(fg.generate_pallas)(params, mel, seed + i)
-            )[: len(chunk)]
+            if streaming_chunk:
+                # no outer jit: the chunk loop must stay host-side so the
+                # single compiled (batch, chunk) kernel serves any length
+                audio = np.asarray(
+                    fg.generate_pallas(params, mel, seed + i, chunk=streaming_chunk)
+                )[: len(chunk)]
+            else:
+                audio = np.asarray(
+                    jax.jit(fg.generate_pallas)(params, mel, seed + i)
+                )[: len(chunk)]
         elif mel.shape[0] == batch_size:
             audio = np.asarray(sharded_gen(params, mel, jax.random.PRNGKey(seed + i)))
         else:  # ragged tail batch: plain jit, no resharding constraint
