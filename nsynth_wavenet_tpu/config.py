@@ -209,9 +209,29 @@ def config_to_json(cfg) -> str:
     return json.dumps(dataclasses.asdict(cfg), indent=2)
 
 
+def _git_branch() -> str:
+    """Current git branch of the working directory, '' when not a repo or
+    on the default branch (the reference appends the branch to the run
+    slug only when it isn't master, auxilaries/config_str.py:109-116)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--abbrev-ref", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        )
+        branch = out.stdout.strip()
+    except Exception:
+        return ""
+    if out.returncode != 0 or branch in ("master", "main", "HEAD", ""):
+        return ""
+    return branch
+
+
 def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
-    """Run-directory slug encoding the key hparams (the reference encodes
-    hparams + flags + git branch, auxilaries/config_str.py:9-116)."""
+    """Run-directory slug encoding the key hparams + non-default git branch
+    (the reference encodes hparams + flags + git branch,
+    auxilaries/config_str.py:9-116)."""
     parts = [model_tag]
     parts.append("mu" if cfg.use_mu_law else "raw")
     parts.append(cfg.loss_type)
@@ -231,4 +251,7 @@ def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
         parts.append("GC")
     if exp_tag:
         parts.append(exp_tag)
+    branch = _git_branch()
+    if branch:
+        parts.append(branch.replace("/", "_"))
     return "-".join(parts)
