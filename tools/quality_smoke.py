@@ -1,27 +1,34 @@
 """End-to-end learning-quality smoke: train a small teacher on synthetic
-harmonic audio, synthesize from held-out mels, and check that the generated
-audio's spectral content follows the conditioning.
+audio, synthesize from held-out mels, and check that the generated audio's
+spectral content follows the conditioning.
 
 This is the audible-regression idea of the reference (committed golden wavs
 per config, Readme.md:93-107) made quantitative and runnable in minutes.
-Pass criteria: (1) training loss far below uniform, (2) held-out
-teacher-forced loss far below uniform, (3) free-running generation is
-strongly tonal (low spectral flatness) with mel correlation above chance.
+Two corpora (--corpus):
 
-Note on conditioning: on perfectly periodic tones the AR context alone
-determines the next sample, so a WaveNet learns to ignore the (redundant)
-mel — matched-vs-mismatched teacher-forced losses differ by only ~0.05 nats
-here, with or without dropout_inputs.  Free-running pitch therefore need
-not track the conditioning on this corpus; that is a property of the toy
-data, not of the conditioning path (which is exercised exactly by
-tests/test_wavenet.py::test_causality_of_out_params and the fastgen parity
-tests).  Real speech is stochastic enough that mel carries unique
-information.
+* ``tones`` (default) — stationary harmonic tones.  Pass criteria:
+  (1) training loss far below uniform, (2) held-out teacher-forced loss far
+  below uniform, (3) free-running generation is strongly tonal (low
+  spectral flatness) with mel correlation above chance.
+  Note on conditioning: on perfectly periodic tones the AR context alone
+  determines the next sample, so a WaveNet learns to ignore the (redundant)
+  mel — matched-vs-mismatched teacher-forced losses differ by only ~0.05
+  nats here, with or without dropout_inputs.  Free-running pitch therefore
+  need not track the conditioning on this corpus; that is a property of the
+  toy data, not of the conditioning path.
 
-Usage: python tools/quality_smoke.py [--steps 30000] [--out_dir /tmp/qs]
-(~4 min of training on one v5e at the default steps; the spectral-flatness
-criterion needs >= ~30k steps to pass — fewer steps still validate the
-loss criteria but leave the free-run audio noisier than the threshold)
+* ``speech`` — formant-synthesized pseudo-speech (data/synthetic.py) whose
+  random segment sequences make the mel genuinely informative.  Criteria
+  (2)/(3) become true conditioning-usage gates: the held-out teacher-forced
+  loss must be markedly lower with the MATCHED mel than with a shuffled one
+  (cond gap), and free-running audio must correlate with its own
+  conditioning mel more than with the other utterances' mels.  This is the
+  strongest conditioning check available without a real speech corpus.
+
+Usage: python tools/quality_smoke.py [--steps 30000] [--corpus speech]
+(~4 min of training on one v5e at the default steps; the tonal
+spectral-flatness criterion needs >= ~30k steps to pass — fewer steps
+still validate the loss criteria but leave free-run audio noisier)
 """
 
 import argparse
@@ -71,6 +78,35 @@ def make_corpus(out_dir, sr=16000, seed=0):
     return data_lib.build_dataset_from_arrays(waves, ids, out_dir), pitches
 
 
+# ClariNet pairing for the student smoke: Gaussian teacher + Gaussian
+# student (closed-form KL — the cheapest distillation path, reference
+# parallel_wavenet.py:404-428).
+GAUSS_TEACHER_CFG = dict(TEACHER_CFG, loss_type="gauss", use_mu_law=False)
+
+STUDENT_CFG = {
+    "wave_length": 3840,
+    "num_iaf_layers": [5, 5],
+    "num_stages": 5,
+    "filter_length": 3,
+    "width": 64,
+    "deconv_width": 128,
+    "deconv_config": [[40, 10], [80, 20]],
+    "use_mu_law": False,
+    "loss_type": "gauss",
+    "power_loss_factor": 1.0,
+    "use_weight_norm": False,
+    "num_iters": 30000,
+}
+
+
+def make_speech_corpus(out_dir, seed=0):
+    from nsynth_wavenet_tpu.data import dataset as data_lib
+    from nsynth_wavenet_tpu.data.synthetic import make_speechlike_corpus
+
+    waves, ids = make_speechlike_corpus(n_utts=24, duration=2.0, seed=seed)
+    return data_lib.build_dataset_from_arrays(waves, ids, out_dir)
+
+
 def dominant_freq(wav, sr=16000):
     spec = np.abs(np.fft.rfft(wav * np.hanning(len(wav))))
     freqs = np.fft.rfftfreq(len(wav), 1 / sr)
@@ -78,7 +114,7 @@ def dominant_freq(wav, sr=16000):
     return freqs[lo][np.argmax(spec[lo])]
 
 
-def main(steps, out_dir):
+def main(steps, out_dir, corpus="tones"):
     import json
 
     import jax
@@ -89,7 +125,11 @@ def main(steps, out_dir):
 
     os.makedirs(out_dir, exist_ok=True)
     ds_dir = os.path.join(out_dir, "ds")
-    _, pitches = make_corpus(ds_dir)
+    if corpus == "speech":
+        make_speech_corpus(ds_dir)
+        pitches = None
+    else:
+        _, pitches = make_corpus(ds_dir)
 
     cfg_path = os.path.join(out_dir, "teacher.json")
     with open(cfg_path, "wt") as f:
@@ -114,18 +154,24 @@ def main(steps, out_dir):
     fg = Fastgen(model)
 
     sr = 16000
-    t = np.arange(sr) / sr  # 1 s held-out tones
-    wavs = np.stack(
-        [
-            0.4
-            * (
-                np.sin(2 * np.pi * f0 * t)
-                + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
-                + 0.2 * np.sin(2 * np.pi * 3 * f0 * t)
-            )
-            for f0 in pitches
-        ]
-    ).astype(np.float32)
+    t = np.arange(sr) / sr  # 1 s held-out clips
+    if corpus == "speech":
+        from nsynth_wavenet_tpu.data.synthetic import make_speechlike_utterance
+
+        rng = np.random.default_rng(1234)  # disjoint from the training seed
+        wavs = np.stack([make_speechlike_utterance(rng, sr, 1.0) for _ in range(4)])
+    else:
+        wavs = np.stack(
+            [
+                0.4
+                * (
+                    np.sin(2 * np.pi * f0 * t)
+                    + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
+                    + 0.2 * np.sin(2 * np.pi * 3 * f0 * t)
+                )
+                for f0 in pitches
+            ]
+        ).astype(np.float32)
     mel = stft.melspectrogram_np(wavs)
     audio = np.asarray(jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(0)))
 
@@ -138,17 +184,47 @@ def main(steps, out_dir):
         for line in f:
             if " loss " in line:
                 final_loss = float(line.split(" loss ")[1].split()[0])
-    loss_ok = final_loss is not None and final_loss < 2.5
+    # pseudo-speech is a harder distribution (noise bursts are near the
+    # entropy ceiling); thresholds calibrated per corpus, both far below
+    # the uniform 5.55 nats
+    loss_thresh, tf_thresh = (4.0, 4.5) if corpus == "speech" else (2.5, 3.0)
+    loss_ok = final_loss is not None and final_loss < loss_thresh
     print(f"final training loss {final_loss} (uniform {np.log(256):.2f}) -> {loss_ok}")
 
     # 2. held-out teacher-forced prediction is far below uniform
-    tf_loss = float(
-        jax.jit(lambda p, w, m: model.forward_loss(p, w, m)["loss"])(
-            params, wavs[:, : cfg.wave_length], mel[:, : cfg.wave_length // 200 + 1]
-        )
-    )
-    tf_ok = tf_loss < 3.0
+    tf_fn = jax.jit(lambda p, w, m: model.forward_loss(p, w, m)["loss"])
+    wav_crop = wavs[:, : cfg.wave_length]
+    mel_crop = mel[:, : cfg.wave_length // 200 + 1]
+    tf_loss = float(tf_fn(params, wav_crop, mel_crop))
+    tf_ok = tf_loss < tf_thresh
     print(f"held-out teacher-forced loss {tf_loss:.3f} -> {tf_ok}")
+
+    if corpus == "speech":
+        # 3. conditioning-usage gates (only meaningful on this corpus, where
+        # the mel carries information the AR context cannot predict):
+        # (a) teacher-forced loss must be markedly worse under a shuffled mel;
+        # (b) free-running audio must track its OWN mel more than the others'.
+        tf_mis = float(tf_fn(params, wav_crop, np.roll(mel_crop, 1, axis=0)))
+        cond_gap = tf_mis - tf_loss
+        matched, mismatched = [], []
+        for i in range(len(wavs)):
+            write_wav(os.path.join(out_dir, f"gen_speech_{i}.wav"), audio[i])
+            gen_mel = stft.melspectrogram_np(audio[i][: len(t)])
+            n = gen_mel.shape[0]
+            for j in range(len(wavs)):
+                c = float(np.corrcoef(gen_mel.ravel(), mel[j, :n].ravel())[0, 1])
+                (matched if i == j else mismatched).append(c)
+        m_corr = float(np.mean(matched))
+        mm_corr = float(np.mean(mismatched))
+        cond_ok = cond_gap > 0.15
+        track_ok = m_corr > mm_corr + 0.05
+        print(f"cond gap (shuffled-mel TF loss {tf_mis:.3f} - matched) "
+              f"{cond_gap:.3f} -> {cond_ok}")
+        print(f"free-run mel corr matched {m_corr:.3f} vs mismatched "
+              f"{mm_corr:.3f} -> {track_ok}")
+        passed = loss_ok and tf_ok and cond_ok and track_ok
+        print("QUALITY SMOKE (speech):", "PASS" if passed else "FAIL")
+        return 0 if passed else 1
 
     # 3. free-running generation produces structured (tonal) audio, not noise
     results = []
@@ -212,15 +288,149 @@ def main(steps, out_dir):
     return 0 if passed else 1
 
 
+def parse_student_log(run_dir):
+    """First/last logged (loss, kl, power) triples from the student log."""
+    import re
+
+    pat = re.compile(r"step \d+ loss ([\d.eE+-]+) kl ([\d.eE+-]+) power ([\d.eE+-]+)")
+    rows = []
+    with open(os.path.join(run_dir, "train.log")) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                rows.append(tuple(float(g) for g in m.groups()))
+    assert rows, "no student loss lines found"
+    return rows[0], rows[-1]
+
+
+def main_student(steps, out_dir, corpus):
+    """Distillation-quality smoke: Gaussian teacher -> Gaussian IAF student
+    -> one-shot synthesis from held-out mels.  Gates: (1) KL and power loss
+    both decrease substantially over training, (2) generated audio has sane
+    amplitude statistics (no scale collapse/explosion), (3) on the speech
+    corpus the free-running student tracks its own conditioning mel better
+    than the other utterances' (same conditioning-usage gate as the teacher
+    smoke)."""
+    import json
+
+    import jax
+
+    from nsynth_wavenet_tpu import evaluation
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.ops import stft
+    from nsynth_wavenet_tpu.training import runner
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds_dir = os.path.join(out_dir, "ds")
+    if corpus == "speech":
+        make_speech_corpus(ds_dir)
+    else:
+        make_corpus(ds_dir)
+
+    te_cfg_path = os.path.join(out_dir, "teacher_gauss.json")
+    with open(te_cfg_path, "wt") as f:
+        json.dump(dict(GAUSS_TEACHER_CFG, num_iters=steps), f)
+    te_dir, _ = runner.train_wavenet(
+        train_path=ds_dir,
+        config_path=te_cfg_path,
+        log_root=os.path.join(out_dir, "runs"),
+        total_batch_size=8,
+        num_steps=steps,
+        ckpt_every_steps=max(steps, 1),
+    )
+
+    st_cfg_path = os.path.join(out_dir, "student_gauss.json")
+    with open(st_cfg_path, "wt") as f:
+        json.dump(dict(STUDENT_CFG, num_iters=steps), f)
+    st_dir, _ = runner.train_parallel_wavenet(
+        train_path=ds_dir,
+        teacher_dir=te_dir,
+        config_path=st_cfg_path,
+        log_root=os.path.join(out_dir, "runs"),
+        total_batch_size=4,
+        num_steps=steps,
+        ckpt_every_steps=max(steps, 1),
+    )
+
+    (l0, kl0, pw0), (l1, kl1, pw1) = parse_student_log(st_dir)
+    kl_ok = kl1 < kl0 * 0.5
+    pw_ok = pw1 < pw0 * 0.5
+    print(f"student kl {kl0:.3f} -> {kl1:.3f} ({kl_ok}); "
+          f"power {pw0:.3f} -> {pw1:.3f} ({pw_ok}); loss {l0:.3f} -> {l1:.3f}")
+
+    # held-out one-shot synthesis
+    sr = 16000
+    if corpus == "speech":
+        from nsynth_wavenet_tpu.data.synthetic import make_speechlike_utterance
+
+        rng = np.random.default_rng(1234)
+        wavs = np.stack([make_speechlike_utterance(rng, sr, 1.0) for _ in range(4)])
+    else:
+        t = np.arange(sr) / sr
+        wavs = np.stack(
+            [
+                0.4
+                * (
+                    np.sin(2 * np.pi * f0 * t)
+                    + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
+                    + 0.2 * np.sin(2 * np.pi * 3 * f0 * t)
+                )
+                for f0 in (110, 150, 200, 270)
+            ]
+        ).astype(np.float32)
+    mel = stft.melspectrogram_np(wavs)
+
+    model, params = evaluation.load_eval_model(st_dir)
+    audio = np.asarray(parallelgen.jit_synthesize(model)(params, mel, jax.random.PRNGKey(7)))
+
+    from nsynth_wavenet_tpu.data.dataset import write_wav
+
+    std = float(np.std(audio))
+    amp_ok = np.isfinite(audio).all() and 0.01 < std < 1.0
+    print(f"student free-run std {std:.4f} -> {amp_ok}")
+
+    matched, mismatched = [], []
+    for i in range(len(wavs)):
+        write_wav(os.path.join(out_dir, f"gen_student_{i}.wav"), audio[i])
+        gen_mel = stft.melspectrogram_np(audio[i][:sr])
+        n = gen_mel.shape[0]
+        for j in range(len(wavs)):
+            c = float(np.corrcoef(gen_mel.ravel(), mel[j, :n].ravel())[0, 1])
+            (matched if i == j else mismatched).append(c)
+    m_corr, mm_corr = float(np.mean(matched)), float(np.mean(mismatched))
+    if corpus == "speech":
+        track_ok = m_corr > mm_corr + 0.05
+        print(f"student mel corr matched {m_corr:.3f} vs mismatched {mm_corr:.3f} "
+              f"-> {track_ok}")
+    else:
+        track_ok = m_corr > 0.4
+        print(f"student mel corr {m_corr:.3f} -> {track_ok}")
+
+    passed = kl_ok and pw_ok and amp_ok and track_ok
+    print("QUALITY SMOKE (student):", "PASS" if passed else "FAIL")
+    return 0 if passed else 1
+
+
 COMPARE_PALLAS = False
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", default=30000, type=int)
     ap.add_argument("--out_dir", default="/tmp/quality_smoke")
+    ap.add_argument("--corpus", default="tones", choices=["tones", "speech"],
+                    help="'speech' = formant-synthesized pseudo-speech where "
+                         "the mel is genuinely informative (conditioning-"
+                         "usage gates); 'tones' = harmonic corpus (tonality "
+                         "gates, optional --compare_pallas)")
     ap.add_argument("--compare_pallas", action="store_true",
                     help="also synthesize with the Pallas bf16 and W8A8 int8 "
-                         "kernels and gate on their quality metrics")
+                         "kernels and gate on their quality metrics "
+                         "(tones corpus only)")
+    ap.add_argument("--student", action="store_true",
+                    help="distillation smoke instead: Gaussian teacher -> "
+                         "Gaussian IAF student -> one-shot synthesis gates")
     args = ap.parse_args()
     COMPARE_PALLAS = args.compare_pallas
-    sys.exit(main(args.steps, args.out_dir))
+    if args.student:
+        sys.exit(main_student(args.steps, args.out_dir, args.corpus))
+    sys.exit(main(args.steps, args.out_dir, args.corpus))
