@@ -78,10 +78,13 @@ def make_corpus(out_dir, sr=16000, seed=0):
     return data_lib.build_dataset_from_arrays(waves, ids, out_dir), pitches
 
 
-# ClariNet pairing for the student smoke: Gaussian teacher + Gaussian
-# student (closed-form KL — the cheapest distillation path, reference
-# parallel_wavenet.py:404-428).
+# Student-smoke pairings (reference asserts these, parallel_wavenet.py:146-151):
+# gauss: Gaussian teacher + Gaussian student (ClariNet closed-form KL,
+#        reference parallel_wavenet.py:404-428) — the cheapest path;
+# mol:   MoL teacher + logistic student (Monte-Carlo KL with num_samples
+#        draws, reference parallel_wavenet.py:361-402).
 GAUSS_TEACHER_CFG = dict(TEACHER_CFG, loss_type="gauss", use_mu_law=False)
+MOL_TEACHER_CFG = dict(TEACHER_CFG, loss_type="mol", use_mu_law=False)
 
 STUDENT_CFG = {
     "wave_length": 3840,
@@ -288,8 +291,12 @@ def main(steps, out_dir, corpus="tones"):
     return 0 if passed else 1
 
 
-def parse_student_log(run_dir):
-    """First/last logged (loss, kl, power) triples from the student log."""
+def parse_student_log(run_dir, window=10):
+    """Windowed-mean (loss, kl, power) at the start and end of the student
+    log.  Per-batch student losses are extremely noisy at tiny batch sizes
+    (a silence-heavy crop and a voiced crop differ by >5x in power loss),
+    so single-row comparisons are meaningless — compare means over the
+    first/last `window` logged rows instead."""
     import re
 
     pat = re.compile(r"step \d+ loss ([\d.eE+-]+) kl ([\d.eE+-]+) power ([\d.eE+-]+)")
@@ -300,17 +307,21 @@ def parse_student_log(run_dir):
             if m:
                 rows.append(tuple(float(g) for g in m.groups()))
     assert rows, "no student loss lines found"
-    return rows[0], rows[-1]
+    w = min(window, max(len(rows) // 2, 1))
+    head = tuple(float(np.mean([r[k] for r in rows[:w]])) for k in range(3))
+    tail = tuple(float(np.mean([r[k] for r in rows[-w:]])) for k in range(3))
+    return head, tail
 
 
-def main_student(steps, out_dir, corpus):
-    """Distillation-quality smoke: Gaussian teacher -> Gaussian IAF student
-    -> one-shot synthesis from held-out mels.  Gates: (1) KL and power loss
-    both decrease substantially over training, (2) generated audio has sane
-    amplitude statistics (no scale collapse/explosion), (3) on the speech
-    corpus the free-running student tracks its own conditioning mel better
-    than the other utterances' (same conditioning-usage gate as the teacher
-    smoke)."""
+def main_student(steps, out_dir, corpus, pairing="gauss"):
+    """Distillation-quality smoke: teacher -> IAF student -> one-shot
+    synthesis from held-out mels.  pairing='gauss' (ClariNet closed-form KL)
+    or 'mol' (MoL teacher + logistic student, Monte-Carlo KL).  Gates:
+    (1) KL and power loss both decrease substantially over training,
+    (2) generated audio has sane amplitude statistics (no scale
+    collapse/explosion), (3) on the speech corpus the free-running student
+    tracks its own conditioning mel better than the other utterances' (same
+    conditioning-usage gate as the teacher smoke)."""
     import json
 
     import jax
@@ -327,9 +338,10 @@ def main_student(steps, out_dir, corpus):
     else:
         make_corpus(ds_dir)
 
-    te_cfg_path = os.path.join(out_dir, "teacher_gauss.json")
+    te_cfg = GAUSS_TEACHER_CFG if pairing == "gauss" else MOL_TEACHER_CFG
+    te_cfg_path = os.path.join(out_dir, f"teacher_{pairing}.json")
     with open(te_cfg_path, "wt") as f:
-        json.dump(dict(GAUSS_TEACHER_CFG, num_iters=steps), f)
+        json.dump(dict(te_cfg, num_iters=steps), f)
     te_dir, _ = runner.train_wavenet(
         train_path=ds_dir,
         config_path=te_cfg_path,
@@ -339,9 +351,13 @@ def main_student(steps, out_dir, corpus):
         ckpt_every_steps=max(steps, 1),
     )
 
-    st_cfg_path = os.path.join(out_dir, "student_gauss.json")
+    st_cfg = dict(STUDENT_CFG, num_iters=steps)
+    if pairing == "mol":
+        st_cfg["loss_type"] = "logistic"
+        st_cfg["num_samples"] = 100  # reference MC-KL draw count
+    st_cfg_path = os.path.join(out_dir, f"student_{pairing}.json")
     with open(st_cfg_path, "wt") as f:
-        json.dump(dict(STUDENT_CFG, num_iters=steps), f)
+        json.dump(st_cfg, f)
     st_dir, _ = runner.train_parallel_wavenet(
         train_path=ds_dir,
         teacher_dir=te_dir,
@@ -427,10 +443,14 @@ if __name__ == "__main__":
                          "kernels and gate on their quality metrics "
                          "(tones corpus only)")
     ap.add_argument("--student", action="store_true",
-                    help="distillation smoke instead: Gaussian teacher -> "
-                         "Gaussian IAF student -> one-shot synthesis gates")
+                    help="distillation smoke instead: teacher -> IAF "
+                         "student -> one-shot synthesis gates")
+    ap.add_argument("--pairing", default="gauss", choices=["gauss", "mol"],
+                    help="student smoke pairing: 'gauss' = ClariNet "
+                         "closed-form KL; 'mol' = MoL teacher + logistic "
+                         "student with Monte-Carlo KL")
     args = ap.parse_args()
     COMPARE_PALLAS = args.compare_pallas
     if args.student:
-        sys.exit(main_student(args.steps, args.out_dir, args.corpus))
+        sys.exit(main_student(args.steps, args.out_dir, args.corpus, args.pairing))
     sys.exit(main(args.steps, args.out_dir, args.corpus))
