@@ -102,8 +102,43 @@ def check_streaming():
     return same
 
 
+def check_prng():
+    """The in-kernel uniform must actually be uniform on (0, 1).  Guards the
+    signed-shift bug: pltpu.prng_random_bits returns int32, and an arithmetic
+    `>> 8` clips half of all draws to the 1e-5 floor and caps the rest below
+    0.5 — teacher-forced parity cannot see it, only free-running sampling
+    quality (and this check) can."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nsynth_wavenet_tpu.ops.fastgen_kernel import _uniform_from_bits
+
+    def kern(seed_ref, o_u):
+        pltpu.prng_seed(seed_ref[0], 7)
+        o_u[...] = _uniform_from_bits(pltpu.prng_random_bits((256, 1024)))
+
+    u = np.asarray(
+        pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_shape=jax.ShapeDtypeStruct((256, 1024), jnp.float32),
+        )(jnp.asarray([3], jnp.int32))
+    ).ravel()
+    checks = {
+        "mean~0.5": abs(float(u.mean()) - 0.5) < 0.01,
+        "p25~0.25": abs(float(np.quantile(u, 0.25)) - 0.25) < 0.01,
+        "p75~0.75": abs(float(np.quantile(u, 0.75)) - 0.75) < 0.01,
+        "max>0.99": float(u.max()) > 0.99,
+        "no clip pileup": float((u <= 1e-5).mean()) < 1e-3,
+    }
+    ok = all(checks.values())
+    print(f"in-kernel uniform: {checks} {'OK' if ok else 'FAIL'}", file=sys.stderr)
+    return ok
+
+
 def main():
     ok = True
+    ok &= check_prng()
     for lt, mu in (("mol", False), ("ce", True), ("gauss", False)):
         for wd in (jnp.bfloat16, jnp.int8):
             ok &= check(lt, mu, wd)

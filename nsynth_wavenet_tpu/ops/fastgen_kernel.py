@@ -14,7 +14,10 @@ all recurrent state living across sequential grid steps:
     variant showed no reliable win: the tunneled backend's hour-scale
     throughput swings exceed the effect size — benchmarks/RESULTS.md
     "variance").  The conditioning section of the operand is filled once
-    per timestep (it is layer-invariant);
+    per timestep (it is layer-invariant).  In the W8A8 path the ring rows
+    are stored ALREADY QUANTIZED (int8 payload + a broadcast log8 exponent
+    lane block) and the stacked matmul splits into per-segment int8 matmuls,
+    so each activation is dynamically quantized exactly once;
   * per-layer weights streamed HBM->VMEM with double buffering.  AR
     generation is weight-streaming-bound (~60-70 MB re-read per step for the
     full-size teacher), so the mel-conditioning 1x1 kernel is CONCATENATED
@@ -175,10 +178,31 @@ def _quant_rows_dyn(x):
     return q, r
 
 
+def _quant_log8(x):
+    """Per-row symmetric int8 quantization with the scale constrained to a
+    power of 2^(1/8) and returned as an int8 exponent code e (r = 2^(e/8)) —
+    so the scale can ride inside the int8 ring buffer next to its payload
+    (no f32 side array, no extra DMA per tap).  ceil keeps r >= amax/127 so
+    |q| <= 127 by construction; vs the exact per-row scale the steps are at
+    most 2^(1/8) (~9%) coarser."""
+    x = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    e = jnp.clip(jnp.ceil(8.0 * jnp.log2(amax * (1.0 / 127.0))), -120.0, 126.0)
+    r = jnp.exp2(e * 0.125)
+    q = jnp.clip(jnp.round(x * jnp.exp2(e * -0.125)), -127.0, 127.0).astype(jnp.int8)
+    return q, e.astype(jnp.int8), r
+
+
 def _uniform_from_bits(bits):
-    """uint32 -> float32 uniform in [1e-5, 1 - 1e-5] (reference samplers use
-    the same open interval, loss_func.py:168)."""
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """random bits -> float32 uniform in [1e-5, 1 - 1e-5] (reference samplers
+    use the same open interval, loss_func.py:168).
+
+    pltpu.prng_random_bits returns SIGNED int32 on TPU, so the shift must be
+    logical: an arithmetic `>> 8` sign-extends half of all draws to negative
+    values (which then clip to the 1e-5 floor) and caps the rest below 0.5 —
+    a silently broken uniform that produced noise-like free-running audio
+    while teacher-forced parity stayed perfect."""
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (1.0 / (1 << 24))
     return jnp.clip(u, 1e-5, 1.0 - 1e-5)
 
 
@@ -223,6 +247,11 @@ def make_generate_fn(
     tot_slots = int(offs[-1])
     L_pad = _round_up(length, 8)
     is_int8 = weight_dtype == jnp.int8
+    # int8 ring rows carry the quantized activation payload plus one LANE
+    # block of broadcast log8 exponent code, so taps come back from HBM
+    # already quantized (see the W8A8 section in the layer loop)
+    lrow = width + LANE if is_int8 else width
+    ldt = jnp.int8 if is_int8 else jnp.bfloat16
     assert not (streaming and collect_out_params)
     # static head layout (must NOT come from the weights pytree: under jit
     # its leaves are tracers and BlockSpec shapes must be python ints)
@@ -267,9 +296,10 @@ def make_generate_fn(
         xh = refs[i]; i += 1          # [8, B] f32 rows 0..2 = taps
         wbuf = refs[i]; i += 1        # [2, krow, gw]
         rsbuf = refs[i]; i += 1       # [2, m, width+skip]
-        bread = refs[i]; i += 1       # [2, 2, B, width] bf16
-        lwrite = refs[i]; i += 1      # [2, B, width] bf16
-        stack = refs[i]; i += 1       # [B, krow] bf16
+        bread = refs[i]; i += 1       # [2, 2, B, lrow]
+        lwrite = refs[i]; i += 1      # [2, B, lrow]
+        if not is_int8:
+            stack = refs[i]; i += 1   # [B, krow] bf16
         w_sem = refs[i]; i += 1       # DMA sems (2,)
         rs_sem = refs[i]; i += 1
         br_sem = refs[i]; i += 1      # (2, 2)
@@ -307,9 +337,14 @@ def make_generate_fn(
         start_layer_dmas(0, 0)
 
         enc = enc_ref[0]  # [B, dw] bf16
-        # the conditioning section of the stacked operand is constant across
-        # layers: fill it ONCE per timestep instead of per layer
-        stack[:, 3 * width :] = enc
+        if is_int8:
+            # the conditioning operand is layer-invariant: quantize it ONCE
+            # per timestep (the exact per-row scale needs no storage here)
+            q_enc, r_enc = _quant_rows_dyn(enc)
+        else:
+            # the conditioning section of the stacked operand is constant
+            # across layers: fill it ONCE per timestep instead of per layer
+            stack[:, 3 * width :] = enc
 
         # conv_start over the scalar tap history (3 outer products)
         l = (
@@ -334,19 +369,47 @@ def make_generate_fn(
             pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
             pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
 
-            l_bf = l.astype(jnp.bfloat16)
-            stack[:, 0:width] = bread[slot, 0]
-            stack[:, width : 2 * width] = bread[slot, 1]
-            stack[:, 2 * width : 3 * width] = l_bf
-
             if is_int8:
-                q_stack, r_stack = _quant_rows_dyn(stack[...])
-                acc = jnp.dot(q_stack, wbuf[slot], preferred_element_type=jnp.int32)
-                d_pre = (
-                    acc.astype(jnp.float32) * (r_stack * scomb_ref[li])
-                    + bcomb_ref[li][None, :]
+                # W8A8 with per-SEGMENT scales: the two dilation taps come
+                # back from the ring ALREADY quantized (int8 payload + log8
+                # exponent lanes), the current activation l is quantized once
+                # here (the same q/e pair becomes this layer's ring write),
+                # and the conditioning operand was quantized once per step.
+                # Four int8 MXU matmuls replace the single stacked one — this
+                # removes the per-layer [B, 3*width+dw] dynamic-quantization
+                # VPU pass that serialized ahead of the MXU and ate most of
+                # the int8 matmul savings (benchmarks/RESULTS.md), halves the
+                # ring-DMA bytes, and the per-segment scales are strictly
+                # finer than one shared stack scale.
+                q_l, e_l, r_l = _quant_log8(l)
+                w_all = wbuf[slot]
+                acc = (
+                    jnp.dot(q_l, w_all[2 * width : 3 * width],
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+                    * r_l
                 )
+                for j, row0 in ((0, 0), (1, width)):
+                    q_t = bread[slot, j][:, :width]
+                    e_t = jnp.max(
+                        bread[slot, j][:, width:].astype(jnp.float32),
+                        axis=-1, keepdims=True,
+                    )
+                    acc += (
+                        jnp.dot(q_t, w_all[row0 : row0 + width],
+                                preferred_element_type=jnp.int32).astype(jnp.float32)
+                        * jnp.exp2(e_t * 0.125)
+                    )
+                acc += (
+                    jnp.dot(q_enc, w_all[3 * width :],
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+                    * r_enc
+                )
+                d_pre = acc * scomb_ref[li] + bcomb_ref[li][None, :]
             else:
+                l_bf = l.astype(jnp.bfloat16)
+                stack[:, 0:width] = bread[slot, 0]
+                stack[:, width : 2 * width] = bread[slot, 1]
+                stack[:, 2 * width : 3 * width] = l_bf
                 d_pre = (
                     jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
                     + bcomb_ref[li][None, :]
@@ -380,7 +443,11 @@ def make_generate_fn(
             # ring slot for steps t+d / t+2d
             if li >= 2:
                 pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
-            lwrite[slot] = l_bf
+            if is_int8:
+                lwrite[slot, :, :width] = q_l
+                lwrite[slot, :, width:] = jnp.broadcast_to(e_l, (B, LANE))
+            else:
+                lwrite[slot] = l_bf
             d = dils[li]
             wrow = offs[li] + jax.lax.rem(t, 2 * d)
             pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
@@ -523,7 +590,7 @@ def make_generate_fn(
             specs.append(pl.BlockSpec((8, B), lambda t: (t // 8, 0)))
         out_shape = [
             jax.ShapeDtypeStruct((L_pad, B), jnp.float32),  # audio
-            jax.ShapeDtypeStruct((tot_slots, B, width), jnp.bfloat16),  # lbuf
+            jax.ShapeDtypeStruct((tot_slots, B, lrow), ldt),  # lbuf
         ]
         out_specs = [
             pl.BlockSpec((8, B), lambda t: (t // 8, 0)),
@@ -540,9 +607,12 @@ def make_generate_fn(
             pltpu.VMEM((8, B), jnp.float32),  # xh
             pltpu.VMEM((2, krow, gw), weight_dtype),  # wbuf
             pltpu.VMEM((2, m, width + skip), weight_dtype),  # rsbuf
-            pltpu.VMEM((2, 2, B, width), jnp.bfloat16),  # bread
-            pltpu.VMEM((2, B, width), jnp.bfloat16),  # lwrite
-            pltpu.VMEM((B, krow), jnp.bfloat16),  # stack
+            pltpu.VMEM((2, 2, B, lrow), ldt),  # bread
+            pltpu.VMEM((2, B, lrow), ldt),  # lwrite
+        ]
+        if not is_int8:
+            scratch.append(pltpu.VMEM((B, krow), jnp.bfloat16))  # stack
+        scratch += [
             pltpu.SemaphoreType.DMA((2,)),  # w_sem
             pltpu.SemaphoreType.DMA((2,)),  # rs_sem
             pltpu.SemaphoreType.DMA((2, 2)),  # br_sem
@@ -571,7 +641,7 @@ def make_generate_fn(
         if streaming:
             if state is None:
                 state = (
-                    jnp.zeros((tot_slots, B, width), jnp.bfloat16),
+                    jnp.zeros((tot_slots, B, lrow), ldt),
                     jnp.zeros((8, B), jnp.float32),
                     jnp.zeros((), jnp.int32),
                 )
@@ -580,7 +650,7 @@ def make_generate_fn(
                 [jnp.asarray(seed, jnp.int32), jnp.asarray(t0, jnp.int32)]
             )
         else:
-            lbuf0 = jnp.zeros((tot_slots, B, width), jnp.bfloat16)
+            lbuf0 = jnp.zeros((tot_slots, B, lrow), ldt)
             seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
         enc_t = enc_t.astype(jnp.bfloat16)
         args = [seed_arr, enc_t, kw["w_comb"], kw["b_comb"], kw["w_rs"], kw["b_rs"]]

@@ -1,0 +1,64 @@
+"""CPU coverage for tools/quality_smoke.py plumbing: the corpus builders'
+config dicts must load through the typed config layer, and the student-log
+parser must produce windowed means."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+
+_TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "quality_smoke.py")
+spec = importlib.util.spec_from_file_location("quality_smoke", _TOOL)
+qs = importlib.util.module_from_spec(spec)
+sys.modules["quality_smoke"] = qs
+spec.loader.exec_module(qs)
+
+from nsynth_wavenet_tpu import config as config_lib  # noqa: E402
+
+
+def _load_cfg(tmp_path, d):
+    p = os.path.join(tmp_path, "cfg.json")
+    with open(p, "wt") as f:
+        json.dump(d, f)
+    return config_lib.load_config(p)
+
+
+def test_smoke_configs_load(tmp_path):
+    tmp = str(tmp_path)
+    te = _load_cfg(tmp, qs.TEACHER_CFG)
+    assert isinstance(te, config_lib.WavenetConfig)
+    assert te.loss_type == "ce" and te.use_mu_law
+
+    for cfg_dict, loss in ((qs.GAUSS_TEACHER_CFG, "gauss"), (qs.MOL_TEACHER_CFG, "mol")):
+        c = _load_cfg(tmp, cfg_dict)
+        assert isinstance(c, config_lib.WavenetConfig)
+        assert c.loss_type == loss and not c.use_mu_law
+
+    st = _load_cfg(tmp, qs.STUDENT_CFG)
+    assert isinstance(st, config_lib.ParallelWavenetConfig)
+    assert st.loss_type == "gauss"
+    # the mol pairing overrides applied by main_student
+    st_mol = _load_cfg(tmp, dict(qs.STUDENT_CFG, loss_type="logistic", num_samples=100))
+    assert st_mol.loss_type == "logistic" and st_mol.num_samples == 100
+
+
+def test_parse_student_log_windowed(tmp_path):
+    run = str(tmp_path)
+    lines = []
+    # noisy decreasing series: head mean ~ (10, 1.0, 5.0), tail ~ (1, 0.1, 0.5)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        base = 10.0 if i < 20 else 1.0
+        lines.append(
+            f"step {100 * (i + 1)} loss {base + rng.uniform(-.2, .2):.4f} "
+            f"kl {base / 10 + rng.uniform(-.02, .02):.4f} "
+            f"power {base / 2 + rng.uniform(-.1, .1):.4f} (50.0 steps/s)"
+        )
+    with open(os.path.join(run, "train.log"), "wt") as f:
+        f.write("\n".join(lines))
+    head, tail = qs.parse_student_log(run, window=10)
+    assert abs(head[0] - 10.0) < 0.5 and abs(tail[0] - 1.0) < 0.5
+    assert abs(head[1] - 1.0) < 0.1 and abs(tail[1] - 0.1) < 0.1
+    assert abs(head[2] - 5.0) < 0.3 and abs(tail[2] - 0.5) < 0.3

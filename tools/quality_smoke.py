@@ -226,6 +226,35 @@ def main(steps, out_dir, corpus="tones"):
         print(f"free-run mel corr matched {m_corr:.3f} vs mismatched "
               f"{mm_corr:.3f} -> {track_ok}")
         passed = loss_ok and tf_ok and cond_ok and track_ok
+
+        if COMPARE_PALLAS:
+            # Pallas bf16 / W8A8 int8 serving kernels must pass the SAME
+            # conditioning-tracking gate on the trained weights — a
+            # stronger check than the tonal flatness compare, because a
+            # subtly broken conditioning operand (enc fill, cond-kernel
+            # concat, quantization) shows up directly as lost tracking.
+            import jax.numpy as jnp
+
+            rep = 32 // mel.shape[0]  # int8 kernel wants >=32 sublanes
+            mel_rep = np.tile(mel, (rep, 1, 1))
+            for mode, wd in (("pallas-bf16", jnp.bfloat16), ("pallas-int8", jnp.int8)):
+                audio_p = np.asarray(
+                    fg.generate_pallas(params, mel_rep, seed=0, weight_dtype=wd)
+                )[: len(wavs)]
+                pm, pmm = [], []
+                for i in range(len(wavs)):
+                    write_wav(os.path.join(out_dir, f"gen_{mode}_{i}.wav"), audio_p[i])
+                    gen_mel = stft.melspectrogram_np(audio_p[i][: len(t)])
+                    n = gen_mel.shape[0]
+                    for j in range(len(wavs)):
+                        c = float(np.corrcoef(gen_mel.ravel(), mel[j, :n].ravel())[0, 1])
+                        (pm if i == j else pmm).append(c)
+                pmc, pmmc = float(np.mean(pm)), float(np.mean(pmm))
+                ok = pmc > pmmc + 0.05 and pmc > m_corr - 0.1
+                print(f"{mode}: free-run mel corr matched {pmc:.3f} vs "
+                      f"mismatched {pmmc:.3f} (xla matched {m_corr:.3f}) -> {ok}")
+                passed = passed and ok
+
         print("QUALITY SMOKE (speech):", "PASS" if passed else "FAIL")
         return 0 if passed else 1
 
@@ -441,7 +470,8 @@ if __name__ == "__main__":
     ap.add_argument("--compare_pallas", action="store_true",
                     help="also synthesize with the Pallas bf16 and W8A8 int8 "
                          "kernels and gate on their quality metrics "
-                         "(tones corpus only)")
+                         "(tones: flatness compare; speech: conditioning-"
+                         "tracking compare)")
     ap.add_argument("--student", action="store_true",
                     help="distillation smoke instead: teacher -> IAF "
                          "student -> one-shot synthesis gates")
