@@ -62,14 +62,25 @@ def main():
     mel = stft.melspectrogram_np(wav)
     gen_len = (mel.shape[1] - 1) * 200  # trim partial last frame
 
-    # fused Pallas kernel path, bf16 streamed weights (lossless vs the bf16
-    # XLA scan; int8 mode trades ~15% more speed for quantization error).
-    # Falls back to the XLA lax.scan path if the Pallas compile fails.
+    # fused Pallas kernel path with W8A8 int8 streamed weights — the fastest
+    # serving mode (interleaved A/B: 1.12x over bf16 at B=512,
+    # benchmarks/ab_ar_dtype.py) and quality-validated on trained weights:
+    # teacher-forced parity max_err 0.0018 (benchmarks/tpu_kernel_parity.py)
+    # and the speech-corpus conditioning-tracking gate passes at parity with
+    # the XLA sampler (tools/quality_smoke.py --corpus speech
+    # --compare_pallas).  Falls back to the XLA lax.scan path if the Pallas
+    # compile fails.
+    import jax.numpy as jnp
+
     t0 = time.time()
     try:
-        gen = jax.jit(lambda p, m, s: fg.generate_pallas(p, m, s, length=gen_len))
+        gen = jax.jit(
+            lambda p, m, s: fg.generate_pallas(
+                p, m, s, length=gen_len, weight_dtype=jnp.int8
+            )
+        )
         out = np.asarray(gen(params, mel, 1))
-        print("path: pallas fused kernel (bf16 weights)", file=sys.stderr)
+        print("path: pallas fused kernel (W8A8 int8 weights)", file=sys.stderr)
     except Exception as e:  # backend-specific pallas failure
         print(f"pallas path failed ({type(e).__name__}); XLA scan fallback", file=sys.stderr)
         gen = jax.jit(
