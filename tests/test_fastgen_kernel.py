@@ -148,3 +148,44 @@ def test_generate_pallas_entrypoint():
     assert audio.shape == (B, L)
     assert np.isfinite(audio).all()
     assert np.abs(audio).max() <= 1.0
+
+
+def test_uniform_from_bits_handles_signed_int32():
+    """pltpu.prng_random_bits returns SIGNED int32 on TPU; the uniform
+    helper must use a logical shift.  An arithmetic `>> 8` sign-extends
+    negative draws (half of all of them) onto the 1e-5 clip floor and caps
+    the rest below 0.5 — the regression that silently broke free-running
+    sampling while teacher-forced parity stayed perfect."""
+    rng = np.random.RandomState(0)
+    bits = jnp.asarray(
+        rng.randint(-(2**31), 2**31, size=(4096,), dtype=np.int64).astype(np.int32)
+    )
+    u = np.asarray(fk._uniform_from_bits(bits))
+    assert u.min() >= 1e-5 and u.max() <= 1 - 1e-5
+    assert (u <= 1e-5).mean() < 1e-2          # no negative-bits pileup at the floor
+    assert u.max() > 0.99                     # upper half of [0,1) is reachable
+    assert abs(u.mean() - 0.5) < 0.02
+
+
+def test_quant_log8_roundtrip():
+    """The ring-buffer quantizer must reconstruct x ~= q * 2^(e/8) within
+    one int8 step at the coarsened scale, keep |q| <= 127 by construction
+    (e is CEILed), and behave across wildly different row magnitudes."""
+    rng = np.random.RandomState(1)
+    x = np.concatenate(
+        [
+            rng.randn(3, 256).astype(np.float32) * s
+            for s in (1e-4, 1.0, 30.0)
+        ]
+    )
+    q, e, r = (np.asarray(a) for a in fk._quant_log8(jnp.asarray(x)))
+    assert q.dtype == np.int8 and e.dtype == np.int8
+    assert np.abs(q).max() <= 127
+    # 1-ULP exp2 difference between XLA and numpy is fine: the read side
+    # recomputes r from the int8 exponent anyway, so only e is canonical
+    np.testing.assert_allclose(r, np.exp2(e.astype(np.float32) * 0.125), rtol=1e-6)
+    # ceil(8*log2(amax/127)) guarantees r >= amax/127: scale granularity is
+    # at most 2^(1/8) coarser, so |x - q*r| <= r/2 <= amax * 2^(1/8) / 254
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    assert (np.abs(x - q * r) < r / 2 * 1.001 + 1e-9).all()
+    assert (r >= amax / 127 - 1e-12).all()
