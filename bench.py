@@ -92,12 +92,17 @@ def main():
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
-    runs = 3
-    t0 = time.time()
+    # median of 5: the tunneled backend has hour-scale load spikes
+    # (benchmarks/RESULTS.md "Variance"); a mean lets one spiked rep drag
+    # the headline, a median reports the typical rep
+    runs = 5
+    times = []
     for i in range(runs):
+        t0 = time.time()
         # np.asarray forces a host fetch — honest end-to-end timing
         out = np.asarray(gen(params, mel, i))
-    dt = (time.time() - t0) / runs
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     audio_sec = batch * gen_len / sr
     audio_sec_per_s = audio_sec / dt

@@ -84,7 +84,17 @@ def make_corpus(out_dir, sr=16000, seed=0):
 # mol:   MoL teacher + logistic student (Monte-Carlo KL with num_samples
 #        draws, reference parallel_wavenet.py:361-402).
 GAUSS_TEACHER_CFG = dict(TEACHER_CFG, loss_type="gauss", use_mu_law=False)
-MOL_TEACHER_CFG = dict(TEACHER_CFG, loss_type="mol", use_mu_law=False)
+# the MoL teacher is the reference's finicky one: wavenet_mol.json gives it
+# a LOWER lr schedule (1e-4 start vs the 2e-4 default) and 2x the iters —
+# at 2e-4 it plateaus fitting the marginal and never picks up the mel
+# (measured: cond_gap ~0.005 after 30k steps on the speech corpus)
+MOL_TEACHER_CFG = dict(
+    TEACHER_CFG,
+    loss_type="mol",
+    use_mu_law=False,
+    lr_schedule=[[0, 1e-4], [90000, 6e-5], [120000, 4e-5], [150000, 2e-5],
+                 [180000, 6e-6], [210000, 2e-6]],
+)
 
 STUDENT_CFG = {
     "wave_length": 3840,
@@ -117,7 +127,7 @@ def dominant_freq(wav, sr=16000):
     return freqs[lo][np.argmax(spec[lo])]
 
 
-def main(steps, out_dir, corpus="tones"):
+def main(steps, out_dir, corpus="tones", head="ce"):
     import json
 
     import jax
@@ -134,9 +144,18 @@ def main(steps, out_dir, corpus="tones"):
     else:
         _, pitches = make_corpus(ds_dir)
 
+    # head selects the teacher output distribution: the CE thresholds below
+    # are in nats against the uniform log(256) ceiling; the continuous
+    # heads (mol/gauss) have no comparable absolute scale, so for them the
+    # absolute-loss gates become improvement gates and the (relative)
+    # conditioning gates carry the check.  This matters for --compare_pallas:
+    # each head has its OWN in-kernel sampler (gumbel-argmax CE, logistic
+    # MoL, Box-Muller gauss), and only a free-running quality gate exercises
+    # a sampler end to end.
+    base_cfg = {"ce": TEACHER_CFG, "mol": MOL_TEACHER_CFG, "gauss": GAUSS_TEACHER_CFG}[head]
     cfg_path = os.path.join(out_dir, "teacher.json")
     with open(cfg_path, "wt") as f:
-        json.dump(dict(TEACHER_CFG, num_iters=steps), f)
+        json.dump(dict(base_cfg, num_iters=steps), f)
 
     run_dir, state = runner.train_wavenet(
         train_path=ds_dir,
@@ -181,25 +200,35 @@ def main(steps, out_dir, corpus="tones"):
     from nsynth_wavenet_tpu.data.dataset import write_wav
 
     # -- criteria ---------------------------------------------------------
-    # 1. training learned the audio distribution (CE: uniform = log 256)
-    final_loss = None
+    # 1. training learned the audio distribution.  CE: absolute thresholds
+    # in nats against the uniform log(256) ceiling.  mol/gauss: continuous
+    # NLL with no comparable absolute scale -> gate on substantial
+    # improvement over the first logged loss instead.
+    losses = []
     with open(os.path.join(run_dir, "train.log")) as f:
         for line in f:
             if " loss " in line:
-                final_loss = float(line.split(" loss ")[1].split()[0])
-    # pseudo-speech is a harder distribution (noise bursts are near the
-    # entropy ceiling); thresholds calibrated per corpus, both far below
-    # the uniform 5.55 nats
-    loss_thresh, tf_thresh = (4.0, 4.5) if corpus == "speech" else (2.5, 3.0)
-    loss_ok = final_loss is not None and final_loss < loss_thresh
-    print(f"final training loss {final_loss} (uniform {np.log(256):.2f}) -> {loss_ok}")
+                losses.append(float(line.split(" loss ")[1].split()[0]))
+    final_loss = losses[-1] if losses else None
+    if head == "ce":
+        # pseudo-speech is a harder distribution (noise bursts are near the
+        # entropy ceiling); thresholds calibrated per corpus, both far below
+        # the uniform 5.55 nats
+        loss_thresh, tf_thresh = (4.0, 4.5) if corpus == "speech" else (2.5, 3.0)
+        loss_ok = final_loss is not None and final_loss < loss_thresh
+        print(f"final training loss {final_loss} (uniform {np.log(256):.2f}) -> {loss_ok}")
+    else:
+        loss_ok = final_loss is not None and final_loss < losses[0] - 1.0
+        print(f"training loss {losses[0] if losses else None} -> {final_loss} "
+              f"({head} NLL, improvement gate) -> {loss_ok}")
 
-    # 2. held-out teacher-forced prediction is far below uniform
+    # 2. held-out teacher-forced prediction: absolute for CE, no-blowup vs
+    # the training loss for the continuous heads
     tf_fn = jax.jit(lambda p, w, m: model.forward_loss(p, w, m)["loss"])
     wav_crop = wavs[:, : cfg.wave_length]
     mel_crop = mel[:, : cfg.wave_length // 200 + 1]
     tf_loss = float(tf_fn(params, wav_crop, mel_crop))
-    tf_ok = tf_loss < tf_thresh
+    tf_ok = tf_loss < tf_thresh if head == "ce" else tf_loss < final_loss + 0.5
     print(f"held-out teacher-forced loss {tf_loss:.3f} -> {tf_ok}")
 
     if corpus == "speech":
@@ -209,6 +238,11 @@ def main(steps, out_dir, corpus="tones"):
         # (b) free-running audio must track its OWN mel more than the others'.
         tf_mis = float(tf_fn(params, wav_crop, np.roll(mel_crop, 1, axis=0)))
         cond_gap = tf_mis - tf_loss
+        # the 0.15-nat gap threshold is calibrated on the CE head; the
+        # continuous NLLs sit on a different scale (measured: a gauss teacher
+        # with clearly-tracking free-run audio shows ~0.14), so for them the
+        # gap gate is a looser sanity floor and the tracking gate decides
+        gap_thresh = 0.15 if head == "ce" else 0.05
         matched, mismatched = [], []
         for i in range(len(wavs)):
             write_wav(os.path.join(out_dir, f"gen_speech_{i}.wav"), audio[i])
@@ -219,7 +253,7 @@ def main(steps, out_dir, corpus="tones"):
                 (matched if i == j else mismatched).append(c)
         m_corr = float(np.mean(matched))
         mm_corr = float(np.mean(mismatched))
-        cond_ok = cond_gap > 0.15
+        cond_ok = cond_gap > gap_thresh
         track_ok = m_corr > mm_corr + 0.05
         print(f"cond gap (shuffled-mel TF loss {tf_mis:.3f} - matched) "
               f"{cond_gap:.3f} -> {cond_ok}")
@@ -479,8 +513,13 @@ if __name__ == "__main__":
                     help="student smoke pairing: 'gauss' = ClariNet "
                          "closed-form KL; 'mol' = MoL teacher + logistic "
                          "student with Monte-Carlo KL")
+    ap.add_argument("--head", default="ce", choices=["ce", "mol", "gauss"],
+                    help="teacher output distribution; with --compare_pallas "
+                         "this picks which in-kernel sampler (gumbel-argmax "
+                         "CE / logistic MoL / Box-Muller gauss) gets the "
+                         "free-running quality gate")
     args = ap.parse_args()
     COMPARE_PALLAS = args.compare_pallas
     if args.student:
         sys.exit(main_student(args.steps, args.out_dir, args.corpus, args.pairing))
-    sys.exit(main(args.steps, args.out_dir, args.corpus))
+    sys.exit(main(args.steps, args.out_dir, args.corpus, args.head))
