@@ -81,7 +81,10 @@ def check(loss_type, use_mu_law, weight_dtype):
     return err < tol
 
 
-def check_streaming():
+def check_streaming(weight_dtype):
+    """Chunked == single-kernel bit-identity on hardware.  Run for BOTH
+    weight dtypes: the int8 streaming state is a different layout (ring rows
+    pre-quantized with log8 exponent lanes carried across chunk boundaries)."""
     cfg = config_lib.WavenetConfig(
         loss_type="mol", use_mu_law=False, double_gate_width=False,
         upsample_act="leaky_relu", **SMALL,
@@ -92,13 +95,14 @@ def check_streaming():
     wav = np.clip(0.3 * rng.randn(B, 1280), -0.99, 0.99).astype(np.float32)
     mel = stft.melspectrogram_np(wav)
     fg = Fastgen(model)
-    full = np.asarray(fg.generate_pallas(params, mel, seed=3, length=96, greedy=True))
+    kw = dict(seed=3, length=96, greedy=True, weight_dtype=weight_dtype)
+    full = np.asarray(fg.generate_pallas(params, mel, **kw))
     chunked = np.asarray(
-        fg.generate_pallas(params, mel, seed=3, length=96, greedy=True, chunk=32,
-                           mel_bucket=None)
+        fg.generate_pallas(params, mel, chunk=32, mel_bucket=None, **kw)
     )
     same = np.array_equal(full, chunked)
-    print(f"streaming bit-identity: {'OK' if same else 'FAIL'}", file=sys.stderr)
+    print(f"streaming bit-identity ({weight_dtype.__name__}): "
+          f"{'OK' if same else 'FAIL'}", file=sys.stderr)
     return same
 
 
@@ -142,7 +146,8 @@ def main():
     for lt, mu in (("mol", False), ("ce", True), ("gauss", False)):
         for wd in (jnp.bfloat16, jnp.int8):
             ok &= check(lt, mu, wd)
-    ok &= check_streaming()
+    for wd in (jnp.bfloat16, jnp.int8):
+        ok &= check_streaming(wd)
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

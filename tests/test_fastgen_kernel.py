@@ -139,6 +139,20 @@ def test_pallas_streaming_equals_full():
     np.testing.assert_allclose(bucketed, full, atol=1e-3)
 
 
+def test_pallas_streaming_equals_full_int8():
+    """Same bit-identity for the W8A8 path: its streaming state carries the
+    ring rows PRE-QUANTIZED (int8 payload + log8 exponent lanes), so chunk
+    boundaries must reproduce exactly what the single-kernel run computes."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    kw = dict(seed=3, length=96, greedy=True, interpret=True, weight_dtype=jnp.int8)
+    full = np.asarray(fg.generate_pallas(params, mel, **kw))
+    chunked = np.asarray(
+        fg.generate_pallas(params, mel, chunk=32, mel_bucket=None, **kw)
+    )
+    np.testing.assert_array_equal(full, chunked)
+
+
 def test_generate_pallas_entrypoint():
     cfg, model, params, wav, mel = _setup("mol", False)
     fg = Fastgen(model)

@@ -62,3 +62,20 @@ def test_parse_student_log_windowed(tmp_path):
     assert abs(head[0] - 10.0) < 0.5 and abs(tail[0] - 1.0) < 0.5
     assert abs(head[1] - 1.0) < 0.1 and abs(tail[1] - 0.1) < 0.1
     assert abs(head[2] - 5.0) < 0.3 and abs(tail[2] - 0.5) < 0.3
+
+
+def test_mel_track_corr(tmp_path):
+    """The shared tracking metric must score self-consistent audio as
+    matched > mismatched, and write the clips when asked."""
+    from nsynth_wavenet_tpu.ops import stft
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wavs = np.stack(
+        [0.4 * np.sin(2 * np.pi * f0 * t) for f0 in (150.0, 420.0, 1100.0)]
+    ).astype(np.float32)
+    mels = stft.melspectrogram_np(wavs)
+    m, mm = qs.mel_track_corr(wavs, mels, sr, out_dir=str(tmp_path), wav_prefix="g")
+    assert m > 0.95 and m > mm + 0.2
+    for i in range(3):
+        assert os.path.exists(os.path.join(str(tmp_path), f"g_{i}.wav"))
