@@ -27,10 +27,14 @@ if __name__ == "__main__":
                         help="with --pallas: chunk size in samples; one "
                              "compiled kernel then serves any utterance "
                              "length (0 = off, compile per length)")
+    parser.add_argument("--int8", action="store_true",
+                        help="with --pallas: stream W8A8 int8 weights (the "
+                             "fastest serving mode; quality-gated by "
+                             "tools/quality_smoke.py --compare_pallas)")
     args = parser.parse_args()
     evaluation.generate_wavenet(
         args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
         args.seed, use_pallas=args.pallas,
         sample_length=args.sample_length, npy_only=args.npy_only,
-        streaming_chunk=args.streaming_chunk or None,
+        streaming_chunk=args.streaming_chunk or None, int8=args.int8,
     )

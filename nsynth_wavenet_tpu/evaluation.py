@@ -104,7 +104,7 @@ def load_eval_model(ckpt_dir: str):
 
 def generate_wavenet(
     source_path, ckpt_dir, save_path, batch_size=4, seed=0, use_pallas=False,
-    sample_length=-1, npy_only=False, streaming_chunk=None,
+    sample_length=-1, npy_only=False, streaming_chunk=None, int8=False,
 ):
     """AR teacher synthesis over a file batch (reference eval_wavenet.py).
 
@@ -113,8 +113,14 @@ def generate_wavenet(
     streaming_chunk: with use_pallas, carry generation state across
     fixed-size chunks so ONE compiled kernel serves every utterance length
     in the batch set (otherwise each distinct (batch, length) pays a
-    compile)."""
+    compile).
+    int8: with use_pallas, stream W8A8 int8 weights — the fastest serving
+    mode (1.12x bf16 at B=512, benchmarks/ab_ar_dtype.py), quality-gated on
+    trained weights by tools/quality_smoke.py --compare_pallas."""
     import jax
+    import jax.numpy as jnp
+
+    wd = jnp.int8 if int8 else jnp.bfloat16
 
     from nsynth_wavenet_tpu.models.fastgen import Fastgen, jit_generate_sharded
     from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
@@ -144,11 +150,14 @@ def generate_wavenet(
                 # no outer jit: the chunk loop must stay host-side so the
                 # single compiled (batch, chunk) kernel serves any length
                 audio = np.asarray(
-                    fg.generate_pallas(params, mel, seed + i, chunk=streaming_chunk)
+                    fg.generate_pallas(params, mel, seed + i,
+                                       chunk=streaming_chunk, weight_dtype=wd)
                 )[: len(chunk)]
             else:
                 audio = np.asarray(
-                    jax.jit(fg.generate_pallas)(params, mel, seed + i)
+                    jax.jit(
+                        lambda p, m, s: fg.generate_pallas(p, m, s, weight_dtype=wd)
+                    )(params, mel, seed + i)
                 )[: len(chunk)]
         elif mel.shape[0] == batch_size:
             audio = np.asarray(sharded_gen(params, mel, jax.random.PRNGKey(seed + i)))
