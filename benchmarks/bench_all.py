@@ -200,7 +200,9 @@ def bench_student_train(results, quick):
     params = transplant_teacher_deconv(pwn.init_params(jax.random.PRNGKey(0)), te_params)
     optimizer = train_lib.make_student_optimizer(st_cfg, params)
     state = train_lib.make_train_state(params, optimizer)
-    B = 4
+    # per-chip batch 8 is 1.44x more utt/s/chip than 4 (interleaved A/B,
+    # benchmarks/batch_sweep_train.py --ab); 16 regresses
+    B = 4 if quick else 8
     mesh = mesh_lib.data_mesh_for_batch(B)
     state = mesh_lib.shard_train_state(state, mesh, spec_fn=lambda p: mesh_lib.P())
     bs = mesh_lib.batch_sharding(mesh)
