@@ -240,8 +240,15 @@ class Dataset:
         Yields float32 [<=batch_size, length]."""
         n = len(self.records)
         for start in range(0, n, batch_size):
-            idx = range(start, min(start + batch_size, n))
-            out = np.zeros((len(idx), length), np.float32)
+            idx = np.arange(start, min(start + batch_size, n), dtype=np.int64)
+            out = np.empty((len(idx), length), np.float32)
+            if self._native and _native_mod.crop_gather(
+                self.data, self._offsets, self._lengths,
+                idx, np.zeros(len(idx), np.int64), length, out, n_threads=0,
+            ):
+                yield out
+                continue
+            out[:] = 0.0
             for j, i in enumerate(idx):
                 o, l = int(self._offsets[i]), int(self._lengths[i])
                 take = min(l, length)
@@ -257,14 +264,22 @@ class Dataset:
         # with replacement if the dataset is tiny
         if len(chosen) < batch_size:
             chosen = rng.integers(0, n, size=batch_size)
-        out = np.zeros((batch_size, seq_len), np.float32)
+        chosen = chosen.astype(np.int64)
+        spans = np.maximum(self._lengths[chosen] - seq_len + 1, 1)
+        starts = rng.integers(0, spans, size=batch_size).astype(np.int64)
+        out = np.empty((batch_size, seq_len), np.float32)
+        if self._native and _native_mod.crop_gather(
+            self.data, self._offsets, self._lengths, chosen, starts, seq_len,
+            out, n_threads=8 if batch_size * seq_len >= 2_000_000 else 0,
+        ):
+            return out
         for j, i in enumerate(chosen):
             o, l = int(self._offsets[i]), int(self._lengths[i])
             if l <= seq_len:
                 out[j, :l] = self.data[o : o + l]
+                out[j, l:] = 0.0
             else:
-                start = int(rng.integers(0, l - seq_len + 1))
-                out[j] = self.data[o + start : o + start + seq_len]
+                out[j] = self.data[o + starts[j] : o + starts[j] + seq_len]
         return out
 
 

@@ -67,6 +67,16 @@ def test_crop_gather_threaded_matches_single(built):
     np.testing.assert_array_equal(out1, out8)
 
 
+def test_init_batch_and_sequential_native_match_numpy(built):
+    a = ds_lib.Dataset(built, use_native=True)
+    b = ds_lib.Dataset(built, use_native=False)
+    np.testing.assert_array_equal(
+        a.get_init_batch(16, 1200, seed=5), b.get_init_batch(16, 1200, seed=5)
+    )
+    for xa, xb in zip(a.sequential_batches(3, 2000), b.sequential_batches(3, 2000)):
+        np.testing.assert_array_equal(xa, xb)
+
+
 def test_crop_gather_defensive_bad_index(built):
     a = ds_lib.Dataset(built, use_native=True)
     idx = np.array([len(a) + 5, -1], np.int64)  # out of range -> silence
