@@ -27,14 +27,23 @@ _f32p = ctypes.POINTER(ctypes.c_float)
 def _build() -> bool:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return True
+    # compile to a per-pid temp then atomically rename: concurrent processes
+    # (multi-host training starts one per host/process) must never observe a
+    # half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-             "-o", _LIB, _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
