@@ -8,6 +8,9 @@ from nsynth_wavenet_tpu import evaluation
 if __name__ == "__main__":
     from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
 
+    from nsynth_wavenet_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     enable_persistent_cache()
     parser = ArgumentParser()
     parser.add_argument("--source_path", required=True,

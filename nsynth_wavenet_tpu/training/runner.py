@@ -34,6 +34,60 @@ def maybe_init_distributed(multihost: bool):
         jax.distributed.initialize()
 
 
+class GracefulShutdown:
+    """Preemption-safe stop for the train loops.
+
+    TPU pods surface maintenance events / preemptions as SIGTERM.  The
+    reference's recovery story is purely restart-based (rerun with --logdir
+    and slim restores the latest hourly checkpoint, train_wavenet.py:51-60 —
+    losing up to an hour of work).  Here the first SIGTERM/SIGINT sets a
+    flag; the loop finishes the in-flight step, saves a checkpoint, and
+    returns cleanly, so resume-by-logdir loses nothing.  A second signal
+    restores the previous handlers' behavior (hard stop escape hatch).
+    No-op when not on the main thread (signal registration is main-thread
+    only — e.g. tests driving the runner from a worker thread).
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handle)
+            except (ValueError, OSError):  # non-main thread / unsupported
+                pass
+        return self
+
+    def _handle(self, sig, frame):
+        import signal
+
+        if self.requested:  # second signal: defer to the original handler
+            prev = self._prev.get(sig, signal.SIG_DFL)
+            signal.signal(sig, prev)
+            if callable(prev):
+                prev(sig, frame)
+            else:
+                raise KeyboardInterrupt
+        self.requested = True
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        return False
+
+
 class Profiler:
     """jax.profiler trace over a step window (the reference has no tracing
     at all, SURVEY.md §5); writes a TensorBoard-loadable trace."""
@@ -179,27 +233,31 @@ def train_wavenet(
     profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
     try:
-        while step < target:
-            profiler.maybe_update(step)
-            wav = jax.device_put(next(it), bs)
-            state, metrics = step_fn(state, wav, rng)
-            step += 1
-            if step % LOG_EVERY == 0 or step == target:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                now = time.time()
-                sps = (step - s_last) / max(now - t_last, 1e-9)
-                t_last, s_last = now, step
-                m["steps_per_sec"] = sps
-                m["utterances_per_sec"] = sps * total_batch_size
-                if total_batch_size > 1:
-                    # conditioning-usage diagnostic (~0 = collapse)
-                    m["cond_gap"] = float(cond_gap_fn(state["params"], wav))
-                writer.write(step, m)
-                log.info(
-                    "step %d loss %.4f lr %.2e cond_gap %.4f (%.2f steps/s)",
-                    step, m["loss"], m["learning_rate"], m.get("cond_gap", 0.0), sps,
-                )
-            if step % ckpt_every_steps == 0 or step == target:
+        with GracefulShutdown() as stop:
+            while step < target and not stop.requested:
+                profiler.maybe_update(step)
+                wav = jax.device_put(next(it), bs)
+                state, metrics = step_fn(state, wav, rng)
+                step += 1
+                if step % LOG_EVERY == 0 or step == target:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    now = time.time()
+                    sps = (step - s_last) / max(now - t_last, 1e-9)
+                    t_last, s_last = now, step
+                    m["steps_per_sec"] = sps
+                    m["utterances_per_sec"] = sps * total_batch_size
+                    if total_batch_size > 1:
+                        # conditioning-usage diagnostic (~0 = collapse)
+                        m["cond_gap"] = float(cond_gap_fn(state["params"], wav))
+                    writer.write(step, m)
+                    log.info(
+                        "step %d loss %.4f lr %.2e cond_gap %.4f (%.2f steps/s)",
+                        step, m["loss"], m["learning_rate"], m.get("cond_gap", 0.0), sps,
+                    )
+                if step % ckpt_every_steps == 0 or step == target:
+                    mgr.save(step, jax.device_get(state))
+            if stop.requested and step % ckpt_every_steps != 0 and step != target:
+                log.info("shutdown signal: saving checkpoint at step %d", step)
                 mgr.save(step, jax.device_get(state))
     finally:
         profiler.close()
@@ -341,25 +399,29 @@ def train_parallel_wavenet(
     profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
     try:
-        while step < target:
-            profiler.maybe_update(step)
-            wav = jax.device_put(next(it), bs)
-            wav_rand = jax.device_put(next(it_rand), bs)
-            state, metrics = step_fn(state, wav, wav_rand, rng)
-            step += 1
-            if step % LOG_EVERY == 0 or step == target:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                now = time.time()
-                sps = (step - s_last) / max(now - t_last, 1e-9)
-                t_last, s_last = now, step
-                m["steps_per_sec"] = sps
-                writer.write(step, m)
-                log.info(
-                    "step %d loss %.4f kl %.4f power %.4f (%.2f steps/s)",
-                    step, m["loss"], m.get("kl_loss", float("nan")),
-                    m.get("power_loss", float("nan")), sps,
-                )
-            if step % ckpt_every_steps == 0 or step == target:
+        with GracefulShutdown() as stop:
+            while step < target and not stop.requested:
+                profiler.maybe_update(step)
+                wav = jax.device_put(next(it), bs)
+                wav_rand = jax.device_put(next(it_rand), bs)
+                state, metrics = step_fn(state, wav, wav_rand, rng)
+                step += 1
+                if step % LOG_EVERY == 0 or step == target:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    now = time.time()
+                    sps = (step - s_last) / max(now - t_last, 1e-9)
+                    t_last, s_last = now, step
+                    m["steps_per_sec"] = sps
+                    writer.write(step, m)
+                    log.info(
+                        "step %d loss %.4f kl %.4f power %.4f (%.2f steps/s)",
+                        step, m["loss"], m.get("kl_loss", float("nan")),
+                        m.get("power_loss", float("nan")), sps,
+                    )
+                if step % ckpt_every_steps == 0 or step == target:
+                    mgr.save(step, jax.device_get(state))
+            if stop.requested and step % ckpt_every_steps != 0 and step != target:
+                log.info("shutdown signal: saving checkpoint at step %d", step)
                 mgr.save(step, jax.device_get(state))
     finally:
         profiler.close()
