@@ -66,11 +66,6 @@ def load():
             _f32p, ctypes.c_int64,
         ]
         lib.crop_gather.restype = None
-        lib.front_gather.argtypes = [
-            _f32p, _i64p, _i64p, ctypes.c_int64,
-            _i64p, ctypes.c_int64, ctypes.c_int64, _f32p,
-        ]
-        lib.front_gather.restype = None
         _lib = lib
         return _lib
 

@@ -73,16 +73,4 @@ void crop_gather(const float* data, const int64_t* offsets,
   for (auto& th : pool) th.join();
 }
 
-// Sequential front-of-record batch (reference reader's is_training=False
-// path, reader.py:98-105): out[j] = first crop_len samples of record
-// rec_idx[j], zero-padded.
-void front_gather(const float* data, const int64_t* offsets,
-                  const int64_t* lengths, int64_t n_records,
-                  const int64_t* rec_idx, int64_t batch, int64_t crop_len,
-                  float* out) {
-  std::vector<int64_t> zeros(batch, 0);
-  crop_gather(data, offsets, lengths, n_records, rec_idx, zeros.data(), batch,
-              crop_len, out, /*n_threads=*/0);
-}
-
 }  // extern "C"
