@@ -229,28 +229,65 @@ def _git_branch() -> str:
 
 
 def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
-    """Run-directory slug encoding the key hparams + non-default git branch
-    (the reference encodes hparams + flags + git branch,
-    auxilaries/config_str.py:9-116)."""
-    parts = [model_tag]
-    parts.append("mu" if cfg.use_mu_law else "raw")
-    parts.append(cfg.loss_type)
-    if getattr(cfg, "use_weight_norm", False):
-        parts.append("wn")
-    if getattr(cfg, "use_resize_conv", False):
-        parts.append("rc")
-    if getattr(cfg, "use_share_deconv", False):
-        parts.append("sd")
-    if getattr(cfg, "use_teacher_deconv", False):
-        parts.append("td")
-    if getattr(cfg, "power_loss_factor", 0.0):
-        parts.append(f"pl{cfg.power_loss_factor:g}")
-    if getattr(cfg, "contrastive_loss_factor", 0.0):
-        parts.append(f"cl{cfg.contrastive_loss_factor:g}")
-    if getattr(cfg, "grad_clip", False):
-        parts.append("GC")
+    """Run-directory slug with full encoding parity to the reference's
+    experiment-bookkeeping contract (auxilaries/config_str.py:9-107): every
+    hparam/flag the reference encodes appears with the same tag vocabulary —
+    ns_ prefix, wn/pwn model id (+tag), MU/n_MU, WN[_DDI][_mfinit]/n_WN,
+    RS/TS, upsample act, and for the student LOGS/CLIP/spec-feature/MEL/
+    L1-L2/PFS/deconv-sharing tags; DIN/DA/n_DO dropout tags for the teacher;
+    uppercased loss type last.  Framework extras (power/contrastive factors,
+    grad clip) and the non-default git branch are appended after.
+
+    The reference gates '_DDI' on the git branch name (config_str.py:30-34);
+    here data-dependent init is unconditional under weight norm, so WN
+    always carries _DDI.  '-NM' (USE_NEW_MEL_EXTRACTOR, reader.py:30) is
+    omitted: that flag defaults False in the reference and the classic
+    extractor is the only one wired into training here.
+    """
+    is_pwn = hasattr(cfg, "num_iaf_layers")
+    model_str = "pwn" if is_pwn else "wn"
     if exp_tag:
-        parts.append(exp_tag)
+        model_str = f"{model_str}_{exp_tag}"
+    parts = ["ns_" + model_str]
+    parts.append("MU" if cfg.use_mu_law else "n_MU")
+    if cfg.use_weight_norm:
+        wn_tag = "WN_DDI"
+        if is_pwn and cfg.manual_final_init:
+            wn_tag += "_mfinit"
+        parts.append(wn_tag)
+    else:
+        parts.append("n_WN")
+    parts.append("RS" if cfg.use_resize_conv else "TS")
+    parts.append(cfg.upsample_act)
+    if is_pwn:
+        parts.append("LOGS" if cfg.use_log_scale else "n_LOGS")
+        parts.append("CLIP" if cfg.clip else "n_CLIP")
+        sef_tag = {0: "LABS", 1: "ABS", 2: "POW", 3: "COM"}[cfg.spec_enhance_factor]
+        parts.append(("N" if cfg.norm_feat else "") + sef_tag)
+        parts.append("MEL" if cfg.use_mel else "n_MEL")
+        parts.append("L1" if cfg.use_l1_loss else "L2")
+        parts.append("PFS" if cfg.use_priority_freq else "n_PFS")
+        if cfg.use_share_deconv:
+            parts.append("SHA_DC")
+        elif cfg.use_teacher_deconv:
+            parts.append("TEA_DC")
+        else:
+            parts.append("SEP_DC")
+        if cfg.power_loss_factor:
+            parts.append(f"pl{cfg.power_loss_factor:g}")
+        if cfg.contrastive_loss_factor:
+            parts.append(f"cl{cfg.contrastive_loss_factor:g}")
+    else:
+        if not cfg.dropout_inputs and not cfg.dropout_all:
+            parts.append("n_DO")
+        elif cfg.dropout_inputs:
+            parts.append("DIN")
+        else:
+            parts.append("DA")
+    if cfg.grad_clip:
+        parts.append("GC")
+    if cfg.loss_type:
+        parts.append(cfg.loss_type.upper())
     branch = _git_branch()
     if branch:
         parts.append(branch.replace("/", "_"))

@@ -80,10 +80,28 @@ def crop_gather(data, offsets, lengths, rec_idx, starts, crop_len, out,
     lib = load()
     if lib is None:
         return False
-    assert data.dtype == np.float32 and out.dtype == np.float32
-    for a in (offsets, lengths, rec_idx, starts):
-        assert a.dtype == np.int64 and a.flags.c_contiguous, a.dtype
-    assert out.flags.c_contiguous and out.shape == (len(rec_idx), crop_len)
+    # FFI preconditions: raise explicitly (NOT assert — asserts vanish under
+    # python -O, and a wrong dtype/stride here is memory corruption in C++,
+    # not a graceful error).
+    for name, a in (("data", data), ("out", out)):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            raise TypeError(
+                f"crop_gather: {name} must be C-contiguous float32, got "
+                f"dtype={a.dtype}, contiguous={a.flags.c_contiguous}"
+            )
+    for name, a in (
+        ("offsets", offsets), ("lengths", lengths),
+        ("rec_idx", rec_idx), ("starts", starts),
+    ):
+        if a.dtype != np.int64 or not a.flags.c_contiguous:
+            raise TypeError(
+                f"crop_gather: {name} must be C-contiguous int64, got "
+                f"dtype={a.dtype}, contiguous={a.flags.c_contiguous}"
+            )
+    if out.shape != (len(rec_idx), crop_len):
+        raise ValueError(
+            f"crop_gather: out shape {out.shape} != {(len(rec_idx), crop_len)}"
+        )
     lib.crop_gather(
         data.ctypes.data_as(_f32p),
         offsets.ctypes.data_as(_i64p),

@@ -51,12 +51,27 @@ def make_mesh(
 def data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
     """Mesh whose data axis evenly divides the global batch: uses the largest
     device count d <= len(devices) with batch_size % d == 0."""
+    return mesh_for_batch(batch_size, devices=devices)
+
+
+def mesh_for_batch(
+    batch_size: int, n_model: int = 1, n_seq: int = 1, devices=None
+) -> Mesh:
+    """Mesh with explicit model/seq extents; the data axis takes the largest
+    count that divides the batch and fits the remaining devices.  This is
+    what the train CLIs' --n_model/--n_seq flags build (the analog of the
+    reference's DeploymentConfig device policy, model_deploy.py:479-680)."""
     if devices is None:
         devices = jax.devices()
-    n = len(devices)
+    avail = len(devices) // (n_model * n_seq)
+    if avail < 1:
+        raise ValueError(
+            f"need n_model*n_seq={n_model * n_seq} devices, have {len(devices)}"
+        )
+    n = avail
     while n > 1 and batch_size % n != 0:
         n -= 1
-    return make_mesh(n_data=n, n_model=1, devices=devices[:n])
+    return make_mesh(n_data=n, n_model=n_model, n_seq=n_seq, devices=devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -74,7 +89,11 @@ def replicate_tree(tree, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
-# Tensor-parallel layout rules for the teacher WaveNet parameter tree
+# Tensor-parallel layout rules for WaveNet parameter trees (teacher AND
+# student: the student's IAF flows embed the same per-layer structure,
+# ['flows'][f]['layers'][i]['dilated'|'mel_cond'|'res'], so the rules match
+# both trees — reference parallel_wavenet.py:200-287 builds each flow from
+# the same conv vocabulary as wavenet.py:225-274).
 # ---------------------------------------------------------------------------
 
 # path-pattern -> PartitionSpec for kernels ('w'/'v') and biases ('b'/'g').
@@ -90,8 +109,9 @@ _TP_BIAS_RULES = (
 )
 
 
-def teacher_tp_spec(path) -> P:
-    """PartitionSpec for one teacher-param leaf identified by its tree path."""
+def wavenet_tp_spec(path) -> P:
+    """PartitionSpec for one WaveNet-family param leaf (teacher or student
+    flow) identified by its tree path."""
     path_str = jax.tree_util.keystr(path)
     leaf_name = path[-1].key if hasattr(path[-1], "key") else None
     if leaf_name in ("w", "v"):
@@ -103,6 +123,9 @@ def teacher_tp_spec(path) -> P:
             if pat.search(path_str):
                 return spec
     return P()
+
+
+teacher_tp_spec = wavenet_tp_spec  # back-compat name
 
 
 def shard_params(params, mesh: Mesh, spec_fn=teacher_tp_spec):

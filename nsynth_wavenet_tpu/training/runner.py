@@ -27,11 +27,61 @@ def maybe_init_distributed(multihost: bool):
     scaffolding, deployment/model_deploy.py:487-537): every host runs the
     same program; jax.distributed wires the coordinator, the Mesh then spans
     all hosts and gradient psums ride ICI within a slice / DCN across.
-    Call before any other jax API."""
+    Call before any other jax API.
+
+    On Cloud TPU/Slurm/OpenMPI the no-arg auto-detection fills everything
+    in; elsewhere (e.g. the multi-process CPU test,
+    tests/test_multiprocess.py) the coordinator is taken from
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
     if multihost:
         import jax
 
-        jax.distributed.initialize()
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
+
+
+def local_batch_size(total_batch_size: int) -> int:
+    """Rows of the global batch this process must produce."""
+    import jax
+
+    n = jax.process_count()
+    assert total_batch_size % n == 0, (total_batch_size, n)
+    return total_batch_size // n
+
+
+def put_global_batch(batch_local, sharding):
+    """Assemble the global on-device batch from this process's rows.
+
+    Single-process: a plain transfer.  Multi-process: every process holds
+    only its own rows, so construct the global jax.Array from process-local
+    data (a cross-process ``device_put`` would require — and in jax 0.9
+    actually verifies — identical data on every process)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(batch_local, sharding)
+    return jax.make_array_from_process_local_data(sharding, batch_local)
+
+
+def broadcast_from_host0(x):
+    """Make a host-side array identical on all processes (process 0 wins).
+    Used for the data-dependent-init batch: each process reads a different
+    dataset shard, but DDI must rescale the replicated params identically
+    everywhere or the replicas silently diverge."""
+    import jax
+
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(x))
 
 
 class GracefulShutdown:
@@ -70,11 +120,13 @@ class GracefulShutdown:
 
         if self.requested:  # second signal: defer to the original handler
             prev = self._prev.get(sig, signal.SIG_DFL)
+            if prev is signal.SIG_IGN:
+                return  # originally ignored: stay ignored, don't interrupt
             signal.signal(sig, prev)
             if callable(prev):
                 prev(sig, frame)
-            else:
-                raise KeyboardInterrupt
+                return
+            raise KeyboardInterrupt
         self.requested = True
 
     def __exit__(self, *exc):
@@ -86,6 +138,36 @@ class GracefulShutdown:
             except (ValueError, OSError):
                 pass
         return False
+
+
+STOP_SYNC_EVERY = 10
+
+
+def make_stop_sync():
+    """Cross-process agreement on the GracefulShutdown flag.
+
+    On a pod every host receives SIGTERM at a slightly different step
+    boundary, while ``step_fn``'s grad psum and the Orbax ``mgr.save`` are
+    collectives — a host that exits the loop one step early deadlocks the
+    rest at exactly preemption time.  All processes therefore all-reduce the
+    local flag at the same fixed step boundaries (every STOP_SYNC_EVERY
+    steps), so the stop decision — and hence the shutdown checkpoint's
+    collective save — is identical everywhere.  Single-process: the local
+    flag, checked every step with zero overhead.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return lambda requested, step: requested
+
+    def sync(requested: bool, step: int) -> bool:
+        if step % STOP_SYNC_EVERY != 0:
+            return False
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.process_allgather(np.asarray(requested)).any())
+
+    return sync
 
 
 class Profiler:
@@ -116,6 +198,20 @@ class Profiler:
             self.active = False
 
 
+def _shared_time_stamp() -> str:
+    """Run-dir timestamp, identical on every process (process 0's clock wins
+    — otherwise hosts race the strftime second and create distinct dirs)."""
+    import jax
+
+    stamp = time.strftime("%m%d_%H%M%S")
+    if jax.process_count() == 1:
+        return stamp
+    from jax.experimental import multihost_utils
+
+    raw = np.frombuffer(stamp.encode("ascii"), dtype=np.uint8)
+    return bytes(np.asarray(multihost_utils.broadcast_one_to_all(raw))).decode("ascii")
+
+
 def resolve_run_dir(log_root: str, logdir: str, config_path: str, model_tag: str):
     """New run: create log_root/<slug>-<time> and copy the config json.
     Resume: read the json already inside logdir (reference
@@ -125,7 +221,7 @@ def resolve_run_dir(log_root: str, logdir: str, config_path: str, model_tag: str
             raise RuntimeError("No config json specified.")
         cfg = config_lib.load_config(config_path)
         slug = config_lib.config_slug(cfg, model_tag)
-        stamp = time.strftime("%m%d_%H%M%S")
+        stamp = _shared_time_stamp()
         run_dir = os.path.join(log_root, f"{slug}-{stamp}")
         os.makedirs(run_dir, exist_ok=True)
         shutil.copy(config_path, run_dir)
@@ -172,8 +268,15 @@ def train_wavenet(
     seed: int = 0,
     multihost: bool = False,
     profile_steps: int = 0,
+    n_model: int = 1,
+    n_seq: int = 1,
 ):
-    """Teacher training (reference train_wavenet.py)."""
+    """Teacher training (reference train_wavenet.py).
+
+    n_model/n_seq select channel tensor parallelism / sequence parallelism
+    extents of the device mesh (remaining devices go to the data axis) —
+    the CLI-reachable analog of the reference's DeploymentConfig device
+    policy (deployment/model_deploy.py:479-680)."""
     maybe_init_distributed(multihost)
     import jax
 
@@ -198,7 +301,9 @@ def train_wavenet(
     params = model.init_params(jax.random.PRNGKey(seed))
     if cfg.use_weight_norm:
         log.info("Calculate initial statistics (data-dependent init).")
-        init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        init_wav = broadcast_from_host0(
+            ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        )
         init_mel = stft_ops.melspectrogram_np(init_wav)
         out_params, params = train_lib.run_data_dep_init(
             model, params, init_wav, init_mel, dropout_rng=jax.random.PRNGKey(seed + 1)
@@ -208,7 +313,7 @@ def train_wavenet(
     optimizer = opt_lib.make_optimizer(cfg.lr_schedule, grad_clip=cfg.grad_clip)
     state = train_lib.make_train_state(params, optimizer)
 
-    mesh = mesh_lib.data_mesh_for_batch(total_batch_size)
+    mesh = mesh_lib.mesh_for_batch(total_batch_size, n_model=n_model, n_seq=n_seq)
     state = mesh_lib.shard_train_state(state, mesh)
     bs = mesh_lib.batch_sharding(mesh)
 
@@ -219,24 +324,30 @@ def train_wavenet(
         log.info("Restored checkpoint at step %d", int(jax.device_get(state["step"])))
 
     step_fn = train_lib.jit_train_step(
-        train_lib.make_wavenet_train_step(model, optimizer), bs
+        train_lib.make_wavenet_train_step(model, optimizer, mesh=mesh), bs
     )
     cond_gap_fn = train_lib.make_cond_gap_fn(model)
 
     writer = logging_utils.MetricsWriter(run_dir)
     it = ds.batch_iterator(
-        total_batch_size, cfg.wave_length, seed=seed + jax.process_index()
+        local_batch_size(total_batch_size), cfg.wave_length,
+        seed=seed + jax.process_index(),
     )
     rng = jax.random.PRNGKey(seed + 2)
     target = num_steps if num_steps is not None else cfg.num_iters
     step = int(jax.device_get(state["step"]))
     profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
+    should_stop = make_stop_sync()
     try:
         with GracefulShutdown() as stop:
-            while step < target and not stop.requested:
+            stopped = False
+            while step < target:
+                if should_stop(stop.requested, step):
+                    stopped = True
+                    break
                 profiler.maybe_update(step)
-                wav = jax.device_put(next(it), bs)
+                wav = put_global_batch(next(it), bs)
                 state, metrics = step_fn(state, wav, rng)
                 step += 1
                 if step % LOG_EVERY == 0 or step == target:
@@ -256,7 +367,7 @@ def train_wavenet(
                     )
                 if step % ckpt_every_steps == 0 or step == target:
                     mgr.save(step, jax.device_get(state))
-            if stop.requested and step % ckpt_every_steps != 0 and step != target:
+            if stopped and step % ckpt_every_steps != 0 and step != target:
                 log.info("shutdown signal: saving checkpoint at step %d", step)
                 mgr.save(step, jax.device_get(state))
     finally:
@@ -310,8 +421,11 @@ def train_parallel_wavenet(
     seed: int = 0,
     multihost: bool = False,
     profile_steps: int = 0,
+    n_model: int = 1,
+    n_seq: int = 1,
 ):
-    """Student distillation training (reference train_parallel_wavenet.py)."""
+    """Student distillation training (reference train_parallel_wavenet.py).
+    n_model/n_seq: see train_wavenet."""
     maybe_init_distributed(multihost)
     import jax
 
@@ -343,7 +457,9 @@ def train_parallel_wavenet(
     params = pwn.init_params(jax.random.PRNGKey(seed))
     if cfg.use_weight_norm:
         log.info("Calculate initial statistics (data-dependent init).")
-        init_wav = ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        init_wav = broadcast_from_host0(
+            ds.get_init_batch(total_batch_size, cfg.wave_length, seed=seed)
+        )
         init_mel = stft_ops.melspectrogram_np(init_wav)
 
         ff, params = jax.jit(
@@ -365,16 +481,23 @@ def train_parallel_wavenet(
         else:
             log.info("Calculating STFT feature mean/std for power-loss norm.")
             mean, std = data_lib.spec_feat_mean_std(train_path, feat_fn=pwn.stft_feat)
-            np.savez(stats_path, mean=mean, std=std)
+            # each process estimated stats from its own dataset shard; the
+            # step closure bakes them in, so they must agree everywhere
+            mean = broadcast_from_host0(mean)
+            std = broadcast_from_host0(std)
+            if jax.process_index() == 0:
+                np.savez(stats_path, mean=mean, std=std)
             norm_stats = (mean, std)
 
     optimizer = train_lib.make_student_optimizer(cfg, params)
     state = train_lib.make_train_state(params, optimizer)
 
-    mesh = mesh_lib.data_mesh_for_batch(total_batch_size)
-    state = mesh_lib.shard_train_state(state, mesh, spec_fn=lambda path: mesh_lib.P())
+    mesh = mesh_lib.mesh_for_batch(total_batch_size, n_model=n_model, n_seq=n_seq)
+    # same column/row-parallel channel rules as the teacher — the flow trees
+    # embed the same per-layer structure (mesh.wavenet_tp_spec)
+    state = mesh_lib.shard_train_state(state, mesh)
     bs = mesh_lib.batch_sharding(mesh)
-    te_params = mesh_lib.replicate_tree(te_params, mesh)
+    te_params = mesh_lib.shard_params(te_params, mesh)
 
     mgr = ckpt_lib.CheckpointManager(os.path.join(run_dir, "ckpt"))
     restored = mgr.restore(state)
@@ -383,27 +506,35 @@ def train_parallel_wavenet(
         log.info("Restored checkpoint at step %d", int(jax.device_get(state["step"])))
 
     step_fn = train_lib.jit_pwn_train_step(
-        train_lib.make_pwn_train_step(pwn, te_params, optimizer, norm_stats), bs
+        train_lib.make_pwn_train_step(pwn, te_params, optimizer, norm_stats, mesh=mesh),
+        bs,
     )
 
     writer = logging_utils.MetricsWriter(run_dir)
     it = ds.batch_iterator(
-        total_batch_size, cfg.wave_length, seed=seed + jax.process_index()
+        local_batch_size(total_batch_size), cfg.wave_length,
+        seed=seed + jax.process_index(),
     )
     it_rand = ds.batch_iterator(
-        total_batch_size, cfg.wave_length, seed=seed + 12345 + jax.process_index()
+        local_batch_size(total_batch_size), cfg.wave_length,
+        seed=seed + 12345 + jax.process_index(),
     )
     rng = jax.random.PRNGKey(seed + 2)
     target = num_steps if num_steps is not None else cfg.num_iters
     step = int(jax.device_get(state["step"]))
     profiler = Profiler(run_dir, step + 10, profile_steps)
     t_last, s_last = time.time(), step
+    should_stop = make_stop_sync()
     try:
         with GracefulShutdown() as stop:
-            while step < target and not stop.requested:
+            stopped = False
+            while step < target:
+                if should_stop(stop.requested, step):
+                    stopped = True
+                    break
                 profiler.maybe_update(step)
-                wav = jax.device_put(next(it), bs)
-                wav_rand = jax.device_put(next(it_rand), bs)
+                wav = put_global_batch(next(it), bs)
+                wav_rand = put_global_batch(next(it_rand), bs)
                 state, metrics = step_fn(state, wav, wav_rand, rng)
                 step += 1
                 if step % LOG_EVERY == 0 or step == target:
@@ -420,7 +551,7 @@ def train_parallel_wavenet(
                     )
                 if step % ckpt_every_steps == 0 or step == target:
                     mgr.save(step, jax.device_get(state))
-            if stop.requested and step % ckpt_every_steps != 0 and step != target:
+            if stopped and step % ckpt_every_steps != 0 and step != target:
                 log.info("shutdown signal: saving checkpoint at step %d", step)
                 mgr.save(step, jax.device_get(state))
     finally:

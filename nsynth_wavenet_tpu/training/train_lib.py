@@ -142,7 +142,7 @@ def make_student_optimizer(pwn_cfg, params):
     )
 
 
-def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None):
+def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None, *, mesh=None):
     """Student distillation step: one XLA program containing base-noise
     sampling, N IAF flows, the frozen teacher's scoring forward, both STFTs
     of the power loss, and the optimizer update (reference splits this
@@ -151,14 +151,27 @@ def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None):
     step_fn(state, wav, wav_rand, rng) -> (new_state, metrics);
     wav_rand feeds the contrastive loss's mismatched mel (pass wav again if
     contrastive_loss_factor == 0).
+
+    If ``mesh`` has a 'seq' axis, the input gets a time-axis sharding
+    constraint like the teacher step's (sequence parallelism over the
+    flows' dilated convs + the teacher scoring pass).
     """
     cfg = pwn.cfg
     lr_fn = opt_lib.piecewise_constant_lr(cfg.lr_schedule)
     use_cl = cfg.loss_type == "logistic" and cfg.contrastive_loss_factor > 0.0
 
+    seq_sharding = None
+    if mesh is not None and "seq" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq_sharding = NamedSharding(mesh, P("data", "seq"))
+
     def step_fn(state, wav, wav_rand, rng):
         step = state["step"]
         rng = jax.random.fold_in(rng, step)
+        if seq_sharding is not None:
+            wav = jax.lax.with_sharding_constraint(wav, seq_sharding)
+            wav_rand = jax.lax.with_sharding_constraint(wav_rand, seq_sharding)
         rng_noise, rng_loss = jax.random.split(rng)
         mel = stft_ops.melspectrogram(wav)
 

@@ -93,3 +93,38 @@ def test_student_config(name, teacher_name):
         ff["mean_tot"]
     )
     np.testing.assert_allclose(np.asarray(ff["x"]), recon, rtol=1e-4, atol=1e-4)
+
+
+def test_config_slug_full_reference_encoding():
+    """Run-slug parity with reference auxilaries/config_str.py:9-107 for all
+    five contract configs (flag defaults: MANUAL_FINAL_INIT=True is encoded
+    only under weight norm; USE_LOG_SCALE/CLIP/NORM_FEAT/USE_MEL/USE_L1 all
+    default False, SPEC_ENHANCE_FACTOR=1 -> ABS, USE_PRIORITY_FREQ=True ->
+    PFS).  Expected strings were derived by hand-executing the reference's
+    get_config_srt over each json; framework extras (pl/cl factors) follow
+    the reference-encoded segment."""
+    import nsynth_wavenet_tpu.config as config_lib
+
+    want = {
+        "wavenet_ce.json": "ns_wn-MU-n_WN-TS-tanh-n_DO-CE",
+        "wavenet_mol.json": "ns_wn-n_MU-n_WN-TS-leaky_relu-DIN-MOL",
+        "wavenet_gauss.json": "ns_wn-n_MU-n_WN-TS-leaky_relu-n_DO-GAUSS",
+        "parallel_wavenet.json": (
+            "ns_pwn-n_MU-n_WN-TS-leaky_relu-n_LOGS-n_CLIP-ABS-n_MEL-L2-PFS"
+            "-SHA_DC-pl1-cl0.3-LOGISTIC"
+        ),
+        "parallel_wavenet_gauss.json": (
+            "ns_pwn-n_MU-n_WN-TS-leaky_relu-n_LOGS-n_CLIP-ABS-n_MEL-L2-PFS"
+            "-SEP_DC-pl1-GAUSS"
+        ),
+    }
+    base = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name, expect in want.items():
+        cfg = config_lib.load_config(os.path.join(base, name))
+        assert config_lib.config_slug(cfg, "unused") == expect, name
+    # weight-norm + manual-final-init and exp-tag encodings
+    cfg = config_lib.load_config(
+        os.path.join(base, "parallel_wavenet.json"), use_weight_norm=True
+    )
+    slug = config_lib.config_slug(cfg, "unused", exp_tag="exp1")
+    assert slug.startswith("ns_pwn_exp1-n_MU-WN_DDI_mfinit-")

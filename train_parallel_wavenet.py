@@ -29,6 +29,10 @@ if __name__ == "__main__":
                         help="initialize jax.distributed (TPU pod)")
     parser.add_argument("--profile_steps", default=0, type=int,
                         help="capture a jax.profiler trace over N steps")
+    parser.add_argument("--n_model", default=1, type=int,
+                        help="channel tensor-parallel mesh extent")
+    parser.add_argument("--n_seq", default=1, type=int,
+                        help="sequence-parallel mesh extent")
     args = parser.parse_args()
     runner.train_parallel_wavenet(
         train_path=args.train_path,
@@ -42,4 +46,6 @@ if __name__ == "__main__":
         seed=args.seed,
         multihost=args.multihost,
         profile_steps=args.profile_steps,
+        n_model=args.n_model,
+        n_seq=args.n_seq,
     )
