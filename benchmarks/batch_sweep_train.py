@@ -52,6 +52,9 @@ def _time_pipelined(step_fn, state, args, runs):
     return dtp, compile_s
 
 
+REMAT = False  # set via --remat: per-layer jax.checkpoint in the teacher
+
+
 def _build_teacher(B):
     import jax
 
@@ -62,7 +65,7 @@ def _build_teacher(B):
 
     cfg = config_lib.WavenetConfig(
         loss_type="mol", use_mu_law=False, double_gate_width=False,
-        upsample_act="leaky_relu", dropout_inputs=True,
+        upsample_act="leaky_relu", dropout_inputs=True, remat=REMAT,
     )
     model = Wavenet(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -181,7 +184,11 @@ def main():
     ap.add_argument("--ab", action="store_true")
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--remat", action="store_true",
+                    help="teacher per-layer remat (cfg.remat)")
     args = ap.parse_args()
+    global REMAT
+    REMAT = args.remat
 
     from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
 

@@ -140,6 +140,41 @@ def check_prng():
     return ok
 
 
+def check_golden_freerun():
+    """Free-run BOTH Pallas paths from the committed golden checkpoint
+    (tests/golden/tiny_ce) and gate on conditioning-tracking mel
+    correlation — catches sampler-class bugs (e.g. the round-1 signed-shift
+    PRNG incident) in seconds; a tonal random-weight parity check cannot
+    see them.  Skipped when the artifact is absent."""
+    from tools.make_golden_ckpt import GOLDEN_DIR, eval_mels, load_golden
+    from tools.quality_smoke import mel_track_corr
+
+    if not os.path.exists(os.path.join(GOLDEN_DIR, "meta.json")):
+        print("golden_freerun: SKIP (no committed golden checkpoint)")
+        return True
+    model, params, meta = load_golden()
+    mels, _ = eval_mels(n=2)
+    fg = Fastgen(model)
+    ok = True
+    for wd in (jnp.bfloat16, jnp.int8):
+        audio = np.asarray(
+            jax.jit(
+                lambda p, m, wd=wd: fg.generate_pallas(p, m, seed=7, weight_dtype=wd)
+            )(params, jnp.asarray(mels))
+        )
+        m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
+        good = (
+            m_corr > mm_corr + 0.05 and m_corr > meta["matched_corr"] - 0.15
+        )
+        print(
+            f"golden_freerun[{jnp.dtype(wd).name}]: matched {m_corr:.3f} "
+            f"(committed {meta['matched_corr']:.3f}) vs mismatched {mm_corr:.3f} "
+            f"-> {'ok' if good else 'FAIL'}"
+        )
+        ok &= good
+    return ok
+
+
 def main():
     ok = True
     ok &= check_prng()
@@ -148,6 +183,7 @@ def main():
             ok &= check(lt, mu, wd)
     for wd in (jnp.bfloat16, jnp.int8):
         ok &= check_streaming(wd)
+    ok &= check_golden_freerun()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

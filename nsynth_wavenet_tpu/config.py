@@ -59,6 +59,11 @@ class WavenetConfig:
     # --- framework-level knobs (module flags in the reference) ---
     grad_clip: bool = False  # reference train_wavenet.py:14
     compute_dtype: str = "bfloat16"  # MXU contraction dtype; f32 accumulation
+    # rematerialize each dilated-conv layer in the backward pass: trades
+    # ~25% more conv FLOPs for not storing the gate/residual activations
+    # ([B, 7680, gate_width] x num_layers), letting per-chip batches 16-32
+    # fit HBM (ROADMAP item: B=32 "fails to fit" without it)
+    remat: bool = False
 
     def __post_init__(self):
         assert not (self.dropout_inputs and self.dropout_all)

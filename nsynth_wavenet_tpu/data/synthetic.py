@@ -11,13 +11,15 @@ audio instead.  Two corpora:
   (tools/quality_smoke.py docstring).
 * ``speech`` (this module) — formant-synthesized pseudo-speech: random
   syllable sequences of voiced segments (glottal pulse train with a
-  time-varying f0 contour, shaped by 2 time-varying formant resonators),
-  unvoiced noise bursts, and silences.  Segment order/pitch/formants are
-  random per utterance, so the AR context alone cannot predict *which*
-  segment comes next — the mel carries unique information and a trained
-  model's free-running output must track the conditioning to score well.
-  This is the strongest conditioning-usage test available without real
-  speech.
+  time-varying f0 contour + breath noise, shaped by 3 formant resonators),
+  fricatives, plosive bursts (closure gap + release transient), and pauses,
+  drawn from a per-utterance speaker profile (f0 register + vocal-tract
+  scale) with utterance-level f0/amplitude declination.  Segment
+  order/pitch/formants are random per utterance, so the AR context alone
+  cannot predict *which* segment comes next — the mel carries unique
+  information and a trained model's free-running output must track the
+  conditioning to score well.  This is the strongest conditioning-usage
+  test available without real speech.
 
 Pure numpy/scipy host code (corpus building is a host-side concern, like the
 reference's librosa pipeline, auxilaries/mel_extractor.py:31-35).
@@ -71,37 +73,84 @@ def _apply_formants(src, f1, f2, sr):
     return out
 
 
+def _speaker_profile(rng):
+    """Per-utterance speaker draw: f0 register and vocal-tract length scale
+    (formants shift together), covering male-through-female ranges so the
+    corpus is multi-speaker like LJSpeech-adjacent real data is multi-style."""
+    f0_lo = rng.uniform(75, 200)
+    f0_hi = f0_lo * rng.uniform(1.4, 2.0)
+    vt = rng.uniform(0.85, 1.2)  # formant scale (shorter tract -> higher)
+    breath = rng.uniform(0.01, 0.06)  # aspiration noise mixed into voicing
+    return {"f0_lo": f0_lo, "f0_hi": f0_hi, "vt": vt, "breath": breath}
+
+
 def make_speechlike_utterance(rng, sr=16000, duration=2.0):
-    """One pseudo-speech utterance: 4-8 syllables of voiced/unvoiced/silence."""
+    """One pseudo-speech utterance: syllable stream of voiced segments,
+    fricatives, plosive bursts (closure silence + release burst), and
+    pauses, from a per-utterance speaker profile, with utterance-final
+    amplitude/f0 declination and leading/trailing silence — the segment
+    classes and prosodic structure a vocoder meets in real speech."""
     n = int(sr * duration)
+    spk = _speaker_profile(rng)
     wav = np.zeros(n, np.float32)
-    pos = 0
-    while pos < n - sr // 10:
-        kind = rng.choice(["voiced", "voiced", "unvoiced", "silence"])
-        seg_len = int(rng.uniform(0.12, 0.35) * sr)
-        seg_len = min(seg_len, n - pos)
-        if kind == "voiced":
-            f0 = _smooth_contour(seg_len, 90, 280, 3, rng)
-            f1 = _smooth_contour(seg_len, 300, 900, 2, rng)
-            f2 = _smooth_contour(seg_len, 1000, 2400, 2, rng)
+    pos = int(rng.uniform(0.01, 0.06) * sr)  # utterance-initial silence
+    end_sil = int(rng.uniform(0.02, 0.08) * sr)
+    while pos < n - end_sil - sr // 20:
+        kind = rng.choice(
+            ["voiced", "voiced", "voiced", "fricative", "plosive", "pause"]
+        )
+        if kind == "plosive":
+            # closure gap then a short wide-band release burst
+            gap = int(rng.uniform(0.02, 0.06) * sr)
+            burst_len = int(rng.uniform(0.008, 0.03) * sr)
+            seg_len = min(gap + burst_len, n - end_sil - pos)
+            seg = np.zeros(seg_len, np.float32)
+            bl = max(min(burst_len, seg_len - gap), 0)
+            if bl > 0:
+                burst = rng.standard_normal(bl).astype(np.float32)
+                fc = rng.uniform(1500, 6500) * spk["vt"]
+                b, a = _resonator_coeffs(min(fc, sr * 0.45), 2500.0, sr)
+                burst = sps.lfilter(b, a, burst).astype(np.float32)
+                burst *= np.exp(-np.arange(bl) / (0.25 * bl + 1))  # sharp decay
+                seg[gap : gap + bl] = 0.5 * burst / (np.max(np.abs(burst)) + 1e-6)
+            fade = 0  # bursts must keep their attack transient
+        elif kind == "voiced":
+            seg_len = min(int(rng.uniform(0.1, 0.35) * sr), n - end_sil - pos)
+            decl = 1.0 - 0.25 * pos / n  # f0 declination over the utterance
+            f0 = _smooth_contour(seg_len, spk["f0_lo"] * decl, spk["f0_hi"] * decl, 3, rng)
+            f1 = _smooth_contour(seg_len, 280 * spk["vt"], 950 * spk["vt"], 2, rng)
+            f2 = _smooth_contour(seg_len, 950 * spk["vt"], 2500 * spk["vt"], 2, rng)
+            f3 = rng.uniform(2400, 3200) * spk["vt"]
             src = _glottal_pulses(f0, sr, rng)
+            src = src + spk["breath"] * rng.standard_normal(seg_len).astype(np.float32)
             seg = _apply_formants(src, f1, f2, sr)
+            b3, a3 = _resonator_coeffs(min(f3, sr * 0.45), 280.0, sr)
+            seg = (seg + 0.25 * sps.lfilter(b3, a3, seg)).astype(np.float32)
             seg = seg / (np.max(np.abs(seg)) + 1e-6)
-        elif kind == "unvoiced":
+            fade = min(sr // 100, seg_len // 2)
+        elif kind == "fricative":
+            seg_len = min(int(rng.uniform(0.06, 0.2) * sr), n - end_sil - pos)
             noise = rng.standard_normal(seg_len).astype(np.float32)
-            fc = rng.uniform(2000, 6000)
-            b, a = _resonator_coeffs(fc, 1500.0, sr)
+            fc = rng.uniform(2000, 6500) * spk["vt"]
+            b, a = _resonator_coeffs(min(fc, sr * 0.45), 1500.0, sr)
             seg = sps.lfilter(b, a, noise).astype(np.float32)
             seg = 0.3 * seg / (np.max(np.abs(seg)) + 1e-6)
-        else:
+            fade = min(sr // 100, seg_len // 2)
+        else:  # pause (inter-word silence, shorter than plosive closure tail)
+            seg_len = min(int(rng.uniform(0.04, 0.18) * sr), n - end_sil - pos)
             seg = np.zeros(seg_len, np.float32)
-        # 10 ms raised-cosine fades to avoid clicks
-        fade = min(sr // 100, seg_len // 2)
-        env = np.ones(seg_len, np.float32)
-        ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / max(fade, 1))
-        env[:fade] *= ramp
-        env[seg_len - fade :] *= ramp[::-1]
-        wav[pos : pos + seg_len] = seg * env
+            fade = 0
+        if seg_len <= 0:
+            break
+        # raised-cosine fades to avoid clicks (not on bursts/pauses)
+        if fade > 0:
+            env = np.ones(seg_len, np.float32)
+            ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / max(fade, 1))
+            env[:fade] *= ramp
+            env[seg_len - fade :] *= ramp[::-1]
+            seg = seg * env
+        # amplitude declination toward the utterance end
+        wav[pos : pos + seg_len] = seg * (1.0 - 0.3 * pos / n)
         pos += seg_len
     wav = 0.6 * wav / (np.max(np.abs(wav)) + 1e-6)
     wav += 0.002 * rng.standard_normal(n).astype(np.float32)

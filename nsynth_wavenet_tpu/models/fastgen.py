@@ -405,6 +405,7 @@ class Fastgen:
         *,
         cond_offset: int = 0,
         weight_dtype=None,
+        rs_dtype=None,
         greedy: bool = False,
         interpret: bool = False,
         chunk: Optional[int] = None,
@@ -439,13 +440,16 @@ class Fastgen:
 
         if weight_dtype is None:
             weight_dtype = jnp.bfloat16
-        kw = fk.build_kernel_weights(cfg, params, weight_dtype=weight_dtype)
+        kw = fk.build_kernel_weights(
+            cfg, params, weight_dtype=weight_dtype, rs_dtype=rs_dtype
+        )
         kw.pop("out_pad"), kw.pop("out_pad_seg")
 
         if chunk is None:
             enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
             gen = fk.cached_generate_fn(
-                cfg, B, L, weight_dtype=weight_dtype, greedy=greedy, interpret=interpret
+                cfg, B, L, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
+                greedy=greedy, interpret=interpret,
             )
             return gen(kw, enc_t, seed)
 
@@ -457,8 +461,8 @@ class Fastgen:
         if need > encoding.shape[1]:
             encoding = jnp.pad(encoding, ((0, 0), (0, need - encoding.shape[1]), (0, 0)))
         gen = fk.cached_generate_fn(
-            cfg, B, chunk, weight_dtype=weight_dtype, greedy=greedy,
-            interpret=interpret, streaming=True,
+            cfg, B, chunk, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
+            greedy=greedy, interpret=interpret, streaming=True,
         )
         state = None
         pieces = []

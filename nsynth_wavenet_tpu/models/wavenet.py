@@ -294,16 +294,39 @@ class Wavenet:
             s = _dropout(next(drop_keys), s, rate)
 
         m = cfg.gate_width // 2
+
+        def layer_body(lp, l, mel_en, dilation):
+            """One gated residual layer -> (res_delta, skip_delta); pure in
+            (lp, l, mel_en) so it can be rematerialized wholesale."""
+            d = conv_ops.conv1d(
+                lp["dilated"], l, dilation=dilation, causal=True, dtype=dtype,
+                out_dtype=dtype,
+            )
+            c = conv_ops.conv1d(lp["mel_cond"], mel_en, dtype=dtype, out_dtype=dtype)
+            d = condition_add(d, c)
+            d = jax.nn.sigmoid(d[:, :, :m]) * jnp.tanh(d[:, :, m:])
+            r = conv_ops.conv1d(lp["res"], d, dtype=dtype, out_dtype=dtype)
+            sk = conv_ops.conv1d(lp["skip"], d, dtype=dtype, out_dtype=dtype)
+            return r, sk
+
+        if cfg.remat and not init:
+            # recompute each layer's gate/residual activations in the
+            # backward pass instead of storing num_layers x [B, L, gate_width]
+            layer_body = jax.checkpoint(layer_body, static_argnums=(3,))
+
         for i in range(cfg.num_layers):
             dilation = 2 ** (i % cfg.num_stages)
             lp = dict(params["layers"][i])
-            d, lp["dilated"] = apply(lp["dilated"], l, dilation=dilation)
-            c, lp["mel_cond"] = apply(lp["mel_cond"], mel_en)
-            d = condition_add(d, c)
-            d = jax.nn.sigmoid(d[:, :, :m]) * jnp.tanh(d[:, :, m:])
-            r, lp["res"] = apply(lp["res"], d)
+            if init:
+                d, lp["dilated"] = apply(lp["dilated"], l, dilation=dilation)
+                c, lp["mel_cond"] = apply(lp["mel_cond"], mel_en)
+                d = condition_add(d, c)
+                d = jax.nn.sigmoid(d[:, :, :m]) * jnp.tanh(d[:, :, m:])
+                r, lp["res"] = apply(lp["res"], d)
+                sk, lp["skip"] = apply(lp["skip"], d)
+            else:
+                r, sk = layer_body(lp, l, mel_en, dilation)
             l = l + r
-            sk, lp["skip"] = apply(lp["skip"], d)
             s = s + sk
             if use_dropout and cfg.dropout_all:
                 l = _dropout(next(drop_keys), l, rate)

@@ -72,8 +72,13 @@ def _quantize_rows(w, dtype):
     return q, scale.astype(jnp.float32)
 
 
-def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
+def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16, rs_dtype=None):
     """Pack the teacher's params into the kernel's streamed/resident arrays.
+
+    rs_dtype overrides the res/skip matrices' storage dtype (default: same
+    as weight_dtype).  W8A8 with rs_dtype=bf16 streams ~20% more weight
+    bytes but removes the per-layer gate quantization from the VPU critical
+    path (the gate feeds the rs matmul directly in bf16).
 
     Returns a dict of arrays (all device-placeable):
       w_comb [NL, 3*width + dw, gw]   streamed (bf16 or int8)
@@ -90,6 +95,8 @@ def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
     NL = cfg.num_layers
     width, gw, skip, dw = cfg.width, cfg.gate_width, cfg.skip_width, cfg.deconv_width
     m = gw // 2
+    if rs_dtype is None:
+        rs_dtype = weight_dtype
 
     def k2d(p):
         w = conv_ops.effective_kernel(p)
@@ -103,7 +110,7 @@ def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
         s_comb.append(s)
         b_comb.append(lp["dilated"]["b"] + lp["mel_cond"]["b"])
         wrs = jnp.concatenate([k2d(lp["res"]), k2d(lp["skip"])], axis=1)
-        q, s = _quantize_rows(wrs, weight_dtype)
+        q, s = _quantize_rows(wrs, rs_dtype)
         w_rs.append(q)
         s_rs.append(s)
         b_rs.append(jnp.concatenate([lp["res"]["b"], lp["skip"]["b"]]))
@@ -145,7 +152,7 @@ def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16):
         "s_comb": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_comb),
         "b_comb": jnp.stack(b_comb),
         "w_rs": jnp.stack(w_rs),
-        "s_rs": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_rs),
+        "s_rs": None if rs_dtype == jnp.bfloat16 else jnp.stack(s_rs),
         "b_rs": jnp.stack(b_rs),
         "w_start": w_start,
         "b_start": params["conv_start"]["b"][None, :],
@@ -170,11 +177,21 @@ def _quant_rows_dyn(x):
     serving batches (benchmarks/RESULTS.md).  The per-row scale matters for
     the gate operand: sigmoid*tanh is bounded in (-1, 1) so a static scale
     could not overflow, but quiet rows (amax << 1) would quantize 10-100x
-    coarser without the dynamic pass."""
-    x = x.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    coarser without the dynamic pass.
+
+    Dtype-preserving up to the rounding step: a bf16 input is abs-maxed and
+    scaled in bf16 (2x VPU throughput); the round itself runs in f32 because
+    Mosaic has no bf16 roundeven lowering on v5e ('math.roundeven' fails to
+    legalize).  The returned scale r is always f32."""
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32), 1e-8
+    )
     r = amax * (1.0 / 127.0)
-    q = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+    prod = (x * (127.0 / amax).astype(x.dtype)).astype(jnp.float32)
+    # the clip is load-bearing with a bf16 product: (127/amax) rounds up by
+    # as much as 2^-9 relative, so x*scale can reach ~127.5 and round to
+    # 128, which WRAPS in int8
+    q = jnp.clip(jnp.round(prod), -127, 127).astype(jnp.int8)
     return q, r
 
 
@@ -206,6 +223,20 @@ def _uniform_from_bits(bits):
     return jnp.clip(u, 1e-5, 1.0 - 1e-5)
 
 
+def _gate(d_pre, m):
+    """sigmoid(d[:, :m]) * tanh(d[:, m:]), always in f32.
+
+    The v5e Mosaic target cannot lower the bf16 transcendental chain:
+    jax.nn.sigmoid on bf16 trips a verifier bug (f32 scalar
+    vector.broadcast into a bf16 vector) and the sign/compare ops inside a
+    manual exp-based formulation hit 'Target does not support this
+    comparison'.  So when the post-matmul combine ran in bf16, one convert
+    pays for an f32 gate chain."""
+    if d_pre.dtype != jnp.float32:
+        d_pre = d_pre.astype(jnp.float32)
+    return jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])
+
+
 def _select_by_max(values, sel_scores):
     """Pick values at the argmax of sel_scores along the last axis without
     an argmax/iota (sum-normalized one-hot of the max)."""
@@ -226,6 +257,8 @@ def make_generate_fn(
     collect_out_params: bool = False,
     interpret: bool = False,
     streaming: bool = False,
+    int8_combine: str = "f32",
+    rs_dtype=None,
 ):
     """Build the jittable pallas generation function for a fixed (cfg, B, L).
 
@@ -247,6 +280,8 @@ def make_generate_fn(
     tot_slots = int(offs[-1])
     L_pad = _round_up(length, 8)
     is_int8 = weight_dtype == jnp.int8
+    rs_dt = weight_dtype if rs_dtype is None else rs_dtype
+    is_int8_rs = rs_dt == jnp.int8
     # int8 ring rows carry the quantized activation payload plus one LANE
     # block of broadcast log8 exponent code, so taps come back from HBM
     # already quantized (see the W8A8 section in the layer loop)
@@ -271,6 +306,7 @@ def make_generate_fn(
         brs_ref = refs[i]; i += 1
         if is_int8:
             scomb_ref = refs[i]; i += 1
+        if is_int8_rs:
             srs_ref = refs[i]; i += 1
         wstart_ref = refs[i]; i += 1
         bstart_ref = refs[i]; i += 1
@@ -336,11 +372,13 @@ def make_generate_fn(
 
         start_layer_dmas(0, 0)
 
+        cdt = jnp.bfloat16 if int8_combine == "bf16" else jnp.float32
         enc = enc_ref[0]  # [B, dw] bf16
         if is_int8:
             # the conditioning operand is layer-invariant: quantize it ONCE
             # per timestep (the exact per-row scale needs no storage here)
             q_enc, r_enc = _quant_rows_dyn(enc)
+            r_enc_c = r_enc.astype(cdt)
         else:
             # the conditioning section of the stacked operand is constant
             # across layers: fill it ONCE per timestep instead of per layer
@@ -357,6 +395,12 @@ def make_generate_fn(
             jnp.dot(l.astype(jnp.bfloat16), wskip0_ref[...], preferred_element_type=jnp.float32)
             + bskip0_ref[0][None, :]
         )  # [B, skip] f32
+        if is_int8:
+            # quantize the layer-0 input while layer 0's DMAs are in flight;
+            # every later layer's q comes from the END of the previous
+            # iteration (overlapping the next layer's weight stream) so no
+            # quantization sits between the DMA wait and the matmuls
+            q_l, e_l, r_l = _quant_log8(l)
 
         for li in range(NL):
             slot = li % 2
@@ -365,47 +409,54 @@ def make_generate_fn(
                 start_layer_dmas(li + 1, nxt)
 
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).wait()
-            pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
-            pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
 
             if is_int8:
                 # W8A8 with per-SEGMENT scales: the two dilation taps come
                 # back from the ring ALREADY quantized (int8 payload + log8
-                # exponent lanes), the current activation l is quantized once
-                # here (the same q/e pair becomes this layer's ring write),
-                # and the conditioning operand was quantized once per step.
-                # Four int8 MXU matmuls replace the single stacked one — this
-                # removes the per-layer [B, 3*width+dw] dynamic-quantization
-                # VPU pass that serialized ahead of the MXU and ate most of
-                # the int8 matmul savings (benchmarks/RESULTS.md), halves the
-                # ring-DMA bytes, and the per-segment scales are strictly
-                # finer than one shared stack scale.
-                q_l, e_l, r_l = _quant_log8(l)
+                # exponent lanes), the current activation l was quantized at
+                # the end of the previous layer (the same q/e pair becomes
+                # this layer's ring write), and the conditioning operand was
+                # quantized once per step.  Four int8 MXU matmuls replace the
+                # single stacked one — this removes the per-layer
+                # [B, 3*width+dw] dynamic-quantization VPU pass that
+                # serialized ahead of the MXU and ate most of the int8 matmul
+                # savings (benchmarks/RESULTS.md), halves the ring-DMA bytes,
+                # and the per-segment scales are strictly finer than one
+                # shared stack scale.  The post-matmul combine runs in bf16
+                # by default (int8_combine): 2x VPU elementwise throughput,
+                # and its 2^-9 relative error is subordinate to the ~2^-7
+                # error already injected by int8 operand quantization.
                 w_all = wbuf[slot]
+                # independent matmuls first (enc, l): the MXU starts while
+                # the tap DMAs may still be in flight
                 acc = (
+                    jnp.dot(q_enc, w_all[3 * width :],
+                            preferred_element_type=jnp.int32).astype(cdt)
+                    * r_enc_c
+                )
+                acc += (
                     jnp.dot(q_l, w_all[2 * width : 3 * width],
-                            preferred_element_type=jnp.int32).astype(jnp.float32)
-                    * r_l
+                            preferred_element_type=jnp.int32).astype(cdt)
+                    * r_l.astype(cdt)
                 )
                 for j, row0 in ((0, 0), (1, width)):
+                    pltpu.make_async_copy(
+                        lbuf_ref.at[0], bread.at[slot, j], br_sem.at[slot, j]
+                    ).wait()
                     q_t = bread[slot, j][:, :width]
-                    e_t = jnp.max(
-                        bread[slot, j][:, width:].astype(jnp.float32),
-                        axis=-1, keepdims=True,
-                    )
+                    # the exponent code is broadcast across the whole LANE
+                    # block at write time; reading ONE lane replaces the
+                    # [B, LANE] max-reduce of v2
+                    e_t = bread[slot, j][:, width : width + 1].astype(jnp.float32)
                     acc += (
                         jnp.dot(q_t, w_all[row0 : row0 + width],
-                                preferred_element_type=jnp.int32).astype(jnp.float32)
-                        * jnp.exp2(e_t * 0.125)
+                                preferred_element_type=jnp.int32).astype(cdt)
+                        * jnp.exp2(e_t * 0.125).astype(cdt)
                     )
-                acc += (
-                    jnp.dot(q_enc, w_all[3 * width :],
-                            preferred_element_type=jnp.int32).astype(jnp.float32)
-                    * r_enc
-                )
-                d_pre = acc * scomb_ref[li] + bcomb_ref[li][None, :]
+                d_pre = acc * scomb_ref[li].astype(cdt) + bcomb_ref[li][None, :].astype(cdt)
             else:
+                pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 0], br_sem.at[slot, 0]).wait()
+                pltpu.make_async_copy(lbuf_ref.at[0], bread.at[slot, 1], br_sem.at[slot, 1]).wait()
                 l_bf = l.astype(jnp.bfloat16)
                 stack[:, 0:width] = bread[slot, 0]
                 stack[:, width : 2 * width] = bread[slot, 1]
@@ -414,9 +465,10 @@ def make_generate_fn(
                     jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
                     + bcomb_ref[li][None, :]
                 )
-            gate = jax.nn.sigmoid(d_pre[:, :m]) * jnp.tanh(d_pre[:, m:])  # [B, m] f32
+            gate = _gate(d_pre, m)  # [B, m]
 
-            if is_int8:
+            pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
+            if is_int8_rs:
                 # per-row dynamic scale: gate is bounded in (-1, 1) so a
                 # static 1/127 scale can't overflow, but it is strictly
                 # COARSER for quiet rows (gate amax << 1 during silence),
@@ -429,6 +481,9 @@ def make_generate_fn(
                     + brs_ref[li][None, :]
                 )
             else:
+                # bf16 res/skip weights: the gate feeds the MXU directly —
+                # no dynamic quantization pass on the critical path (W8A8
+                # variant streams ~20% more weight bytes for this)
                 rs = (
                     jnp.dot(
                         gate.astype(jnp.bfloat16), rsbuf[slot],
@@ -452,6 +507,10 @@ def make_generate_fn(
             wrow = offs[li] + jax.lax.rem(t, 2 * d)
             pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
             l = new_l
+            if is_int8 and li + 1 < NL:
+                # quantize the next layer's operand NOW, while its weight/tap
+                # DMAs (started above) are still streaming
+                q_l, e_l, r_l = _quant_log8(l)
 
         # drain the last two buffer writes before the next grid step reads
         pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
@@ -560,10 +619,9 @@ def make_generate_fn(
         pl.BlockSpec((NL, width + skip), lambda t: (0, 0)),  # b_rs
     ]
     if is_int8:
-        in_specs += [
-            pl.BlockSpec((NL, 1, gw), lambda t: (0, 0, 0)),
-            pl.BlockSpec((NL, 1, width + skip), lambda t: (0, 0, 0)),
-        ]
+        in_specs += [pl.BlockSpec((NL, 1, gw), lambda t: (0, 0, 0))]
+    if is_int8_rs:
+        in_specs += [pl.BlockSpec((NL, 1, width + skip), lambda t: (0, 0, 0))]
     in_specs += [
         pl.BlockSpec((8, width), lambda t: (0, 0)),  # w_start
         pl.BlockSpec((1, width), lambda t: (0, 0)),  # b_start
@@ -606,7 +664,7 @@ def make_generate_fn(
         scratch = [
             pltpu.VMEM((8, B), jnp.float32),  # xh
             pltpu.VMEM((2, krow, gw), weight_dtype),  # wbuf
-            pltpu.VMEM((2, m, width + skip), weight_dtype),  # rsbuf
+            pltpu.VMEM((2, m, width + skip), rs_dt),  # rsbuf
             pltpu.VMEM((2, 2, B, lrow), ldt),  # bread
             pltpu.VMEM((2, B, lrow), ldt),  # lwrite
         ]
@@ -655,7 +713,9 @@ def make_generate_fn(
         enc_t = enc_t.astype(jnp.bfloat16)
         args = [seed_arr, enc_t, kw["w_comb"], kw["b_comb"], kw["w_rs"], kw["b_rs"]]
         if is_int8:
-            args += [kw["s_comb"], kw["s_rs"]]
+            args += [kw["s_comb"]]
+        if is_int8_rs:
+            args += [kw["s_rs"]]
         args += [
             kw["w_start"], kw["b_start"], kw["w_skip0"], kw["b_skip0"],
             kw["w_out1"], kw["b_out1"], kw["w_out2"], kw["b_out2"], lbuf0,

@@ -203,3 +203,35 @@ def test_quant_log8_roundtrip():
     amax = np.abs(x).max(axis=-1, keepdims=True)
     assert (np.abs(x - q * r) < r / 2 * 1.001 + 1e-9).all()
     assert (r >= amax / 127 - 1e-12).all()
+
+
+def test_kernel_int8_rs_bf16_close_to_bf16():
+    """W8A8 with bf16-streamed res/skip matrices (rs_dtype=bf16: the gate
+    feeds the MXU unquantized) must stay at least as close to the bf16
+    reference as the all-int8 variant."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    tf = jnp.transpose(jnp.asarray(wav[:, :L]))
+
+    outs = {}
+    for name, wd, rsd in (
+        ("bf16", jnp.bfloat16, None),
+        ("int8", jnp.int8, None),
+        ("int8_rsbf16", jnp.int8, jnp.bfloat16),
+    ):
+        kw = fk.build_kernel_weights(cfg, params, weight_dtype=wd, rs_dtype=rsd)
+        kw.pop("out_pad"), kw.pop("out_pad_seg")
+        gen = fk.make_generate_fn(
+            cfg, B, L, weight_dtype=wd, rs_dtype=rsd, teacher_forced=True,
+            collect_out_params=True, greedy=True, interpret=True,
+        )
+        _, outp = gen(kw, enc_t, 123, tf=tf)
+        outs[name] = np.asarray(outp)
+    scale = np.abs(outs["bf16"]).max()
+    err_rs = np.abs(outs["int8_rsbf16"] - outs["bf16"]).max()
+    err_i8 = np.abs(outs["int8"] - outs["bf16"]).max()
+    assert err_rs < 0.05 * scale, (err_rs, scale)
+    assert err_rs <= err_i8 * 1.5 + 1e-6, (err_rs, err_i8)
+

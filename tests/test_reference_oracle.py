@@ -334,3 +334,57 @@ def test_melspectrogram_matches_independent_oracle():
     got_np = stft_ops.melspectrogram_np(y[None])[0]
     np.testing.assert_allclose(got_dev, ref, atol=2e-4, rtol=0)
     np.testing.assert_allclose(got_np, ref, atol=2e-4, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Real-speech inputs: the reference ships real LJSpeech audio
+# (tests/test_data/test.wav — its own tests load exactly this file,
+# reference tests/test_wavenet.py) — run the same oracles on real speech,
+# whose spectral structure stresses the mel path harder than noise.
+# ---------------------------------------------------------------------------
+
+REF_WAV = os.path.join(REF, "tests", "test_data", "test.wav")
+
+
+@pytest.fixture(scope="module")
+def real_speech():
+    import wave as wave_mod
+
+    if not os.path.exists(REF_WAV):
+        pytest.skip("reference test.wav not present")
+    w = wave_mod.open(REF_WAV)
+    assert w.getframerate() == 16000 and w.getnchannels() == 1
+    data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    return (data.astype(np.float32) / 32768.0)[: 4 * 7680]
+
+
+def test_mu_law_roundtrip_real_speech(ref_utils, real_speech):
+    w = real_speech
+    ref_q = np.asarray(ref_utils.mu_law(tf.constant(w)))
+    got_q = np.asarray(sig.mu_law(w))
+    assert np.abs(ref_q - got_q).max() <= 1.0
+    assert (ref_q != got_q).mean() < 1e-3
+    # decode chain parity on the reference's own quantization
+    ref_dec = ref_utils.inv_mu_law_numpy(ref_q)
+    got_dec = np.asarray(sig.inv_mu_law(ref_q))
+    np.testing.assert_allclose(got_dec, ref_dec, rtol=1e-5, atol=1e-7)
+    # round-trip error bounded by one mu-law bin
+    assert np.abs(got_dec - w).max() < 0.05
+
+
+def test_melspectrogram_real_speech_matches_oracle(real_speech):
+    p = stft_ops.MEL_PARAMS
+    y = real_speech[:7680]
+    spec = np.abs(_librosa_stft_oracle(y.astype(np.float64)))
+    basis = _mel_filterbank_oracle(p.sample_rate, p.n_fft, p.num_mel, p.mel_fmin, p.mel_fmax)
+    db = 20.0 * np.log10(np.maximum(p.min_amp, spec @ basis.T))
+    ref = np.clip((db - p.min_level_db) / -p.min_level_db, 0.0, 1.0)
+    got = stft_ops.melspectrogram_np(y[None])[0]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=0)
+
+
+def test_stft_pad_end_real_speech_matches_tf(real_speech):
+    y = real_speech[None, :7680]
+    ref = np.abs(np.asarray(_ref_tf_stft(tf.constant(y))))
+    got = np.abs(np.asarray(stft_ops.stft_pad_end(y)))
+    np.testing.assert_allclose(got, ref, atol=2e-4 * ref.max(), rtol=0)

@@ -347,3 +347,29 @@ def test_student_tensor_and_sequence_parallel_step_runs():
         state_sh, jax.device_put(wav, bs), jax.device_put(wav_rand, bs), key
     )
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+
+
+def test_remat_teacher_matches_no_remat():
+    """cfg.remat must change memory, not math: loss and grads identical."""
+    wav = np.clip(
+        0.3 * np.random.default_rng(5).standard_normal((2, 1280)), -0.99, 0.99
+    ).astype(np.float32)
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
+
+    mel = stft_ops.melspectrogram_np(wav)
+    outs = {}
+    for remat in (False, True):
+        cfg = config_lib.WavenetConfig(use_mu_law=True, loss_type="ce", remat=remat, **TINY)
+        model = Wavenet(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def loss_fn(p):
+            return model.forward_loss(p, wav, mel)["loss"]
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        outs[remat] = (float(loss), grads)
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+    g0 = jax.tree_util.tree_leaves(outs[False][1])
+    g1 = jax.tree_util.tree_leaves(outs[True][1])
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -1,0 +1,180 @@
+"""Train + commit the golden regression checkpoint (round-2, VERDICT #6).
+
+Trains the quality-smoke CE teacher (width 128 — Pallas-kernel compatible)
+on the formant-synthesized pseudo-speech corpus, free-runs it, and writes
+
+    tests/golden/tiny_ce/params.npz   (EMA weights, int8 per-channel + f32
+                                       scales/biases, ~3 MB compressed)
+    tests/golden/tiny_ce/meta.json    (config + measured free-run tracking)
+
+so tests/test_golden_regression.py can catch sampler-class bugs (e.g. the
+round-1 signed-shift PRNG incident, benchmarks/RESULTS.md "Sampler
+correctness") in seconds instead of a 30k-step smoke.  The free-run metrics
+are measured from the ROUND-TRIPPED (int8-dequantized) weights so the gate
+compares like for like.
+
+Usage (TPU, ~10 min):  python tools/make_golden_ckpt.py [--steps 30000]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tests", "golden", "tiny_ce")
+# held-out utterance seeds (the training corpus uses seed=0's stream)
+EVAL_SEEDS = (101, 202, 303, 404)
+GEN_SAMPLES = 12000  # 0.75 s
+
+
+def golden_config():
+    from nsynth_wavenet_tpu import config as config_lib
+    from tools.quality_smoke import TEACHER_CFG
+
+    return config_lib.wavenet_config_from_dict(
+        dict(TEACHER_CFG, compute_dtype="float32")
+    )
+
+
+def flatten_params(tree):
+    import jax
+
+    return {jax.tree_util.keystr(p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def unflatten_params(template, flat):
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    vals = []
+    for p, leaf in leaves:
+        a = flat[jax.tree_util.keystr(p)]
+        assert a.shape == leaf.shape, (jax.tree_util.keystr(p), a.shape, leaf.shape)
+        vals.append(a.astype(np.float32))
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def quantize_flat(flat):
+    """int8 per-output-channel (last axis) storage; 1-D arrays stay f32."""
+    out = {}
+    for k, a in flat.items():
+        if a.ndim < 2 or a.size < 1024:
+            out[k] = a.astype(np.float32)
+            continue
+        amax = np.maximum(np.abs(a).max(axis=tuple(range(a.ndim - 1)), keepdims=True), 1e-8)
+        scale = (amax / 127.0).astype(np.float32)
+        out[k + "#q"] = np.clip(np.round(a / scale), -127, 127).astype(np.int8)
+        out[k + "#s"] = scale
+    return out
+
+
+def dequantize_flat(stored):
+    out = {}
+    for k, a in stored.items():
+        if k.endswith("#q"):
+            out[k[:-2]] = a.astype(np.float32) * stored[k[:-2] + "#s"]
+        elif not k.endswith("#s"):
+            out[k] = a
+    return out
+
+
+def eval_mels(n=4, n_frames_len=GEN_SAMPLES):
+    """Deterministic held-out conditioning mels (+ source audio)."""
+    from nsynth_wavenet_tpu.data.synthetic import make_speechlike_utterance
+    from nsynth_wavenet_tpu.ops import stft
+
+    wavs = []
+    for s in EVAL_SEEDS[:n]:
+        rng = np.random.default_rng(s)
+        wavs.append(make_speechlike_utterance(rng, duration=1.0))
+    wav = np.stack(wavs).astype(np.float32)
+    return stft.melspectrogram_np(wav), wav
+
+
+def load_golden(directory=GOLDEN_DIR):
+    """Returns (model, params, meta) from the committed artifact."""
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+
+    import jax
+
+    meta = json.load(open(os.path.join(directory, "meta.json")))
+    from nsynth_wavenet_tpu import config as config_lib
+
+    cfg = config_lib.wavenet_config_from_dict(meta["config"])
+    model = Wavenet(cfg)
+    template = model.init_params(jax.random.PRNGKey(0))
+    stored = dict(np.load(os.path.join(directory, "params.npz")))
+    params = unflatten_params(template, dequantize_flat(stored))
+    return model, params, meta
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/golden_ckpt")
+    args = ap.parse_args()
+
+    import jax
+
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.training import runner
+    from tools.quality_smoke import TEACHER_CFG, make_speech_corpus, mel_track_corr
+
+    os.makedirs(args.workdir, exist_ok=True)
+    ds_dir = os.path.join(args.workdir, "ds")
+    if not os.path.exists(os.path.join(ds_dir, "index.json")):
+        make_speech_corpus(ds_dir)
+
+    cfg_path = os.path.join(args.workdir, "golden_ce.json")
+    with open(cfg_path, "wt") as f:
+        json.dump(dict(TEACHER_CFG, compute_dtype="float32", num_iters=args.steps), f)
+
+    run_dir, state = runner.train_wavenet(
+        train_path=ds_dir, config_path=cfg_path,
+        log_root=os.path.join(args.workdir, "runs"),
+        total_batch_size=args.batch, ckpt_every_steps=10000,
+    )
+
+    # round-trip through the committed int8 storage BEFORE measuring
+    flat = flatten_params(jax.device_get(state["ema"]))
+    stored = quantize_flat(flat)
+    model = Wavenet(golden_config())
+    params = unflatten_params(model.init_params(jax.random.PRNGKey(0)),
+                              dequantize_flat(stored))
+
+    mels, _ = eval_mels()
+    fg = Fastgen(model)
+    audio = np.asarray(
+        jax.jit(lambda p, m: fg.generate(p, m, jax.random.PRNGKey(7)))(params, mels)
+    )
+    m_corr, mm_corr = mel_track_corr(audio, mels, GEN_SAMPLES)
+    print(f"golden free-run tracking: matched {m_corr:.3f} vs mismatched {mm_corr:.3f}")
+    assert m_corr > mm_corr + 0.1, "golden model does not track conditioning"
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "params.npz"), **stored)
+    meta = {
+        "config": dict(TEACHER_CFG, compute_dtype="float32"),
+        "train_steps": args.steps,
+        "corpus": "data/synthetic.py make_speechlike_corpus(seed=0)",
+        "eval_seeds": list(EVAL_SEEDS),
+        "gen_samples": GEN_SAMPLES,
+        "matched_corr": round(m_corr, 4),
+        "mismatched_corr": round(mm_corr, 4),
+    }
+    with open(os.path.join(GOLDEN_DIR, "meta.json"), "wt") as f:
+        json.dump(meta, f, indent=2)
+    size = os.path.getsize(os.path.join(GOLDEN_DIR, "params.npz")) / 1e6
+    print(f"wrote {GOLDEN_DIR} ({size:.1f} MB), run dir {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
