@@ -98,6 +98,42 @@ def main():
 
     timeit("full train step (mel+fwd+bwd+Adam+EMA)", full, state, wav, key)
 
+    # ---- isolate the optimizer tail (full step minus fwd+bwd+mel).
+    # CAVEAT: these standalone rows carry the full per-call dispatch+fetch
+    # RTT of the tunneled backend (~25-45 ms), which dwarfs the actual
+    # device time of a 5.8M-param update.  A block_until_ready protocol
+    # measures Adam-on-tree at 2.8 ms, optax.flatten at 1.3 ms, EMA at
+    # 1.2 ms — i.e. the optimizer is NOT a bottleneck (~1-2% of the step);
+    # flattening would buy ~1.5 ms and is not worth the opt-state layout
+    # churn.  Compare rows within one protocol only.
+    import optax
+
+    from nsynth_wavenet_tpu.training import optimizer as opt_mod
+
+    grads = jax.jit(jax.grad(loss_devmel))(params, wav, key)
+    grads = jax.device_put(grads)
+
+    def adam_only(state, grads):
+        updates, new_opt = optimizer.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return gnorm(new_params)
+
+    timeit("Adam update alone (given grads)", jax.jit(adam_only), state, grads)
+
+    def ema_only(state):
+        new_ema = opt_mod.ema_update(state["ema"], state["params"], state["step"])
+        return gnorm(new_ema)
+
+    timeit("EMA update alone", jax.jit(ema_only), state)
+
+    def fwd_bwd_adam(state, wav, key):
+        g = jax.grad(loss_devmel)(state["params"], wav, key)
+        updates, new_opt = optimizer.update(g, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return gnorm(new_params)
+
+    timeit("fwd+bwd+mel+Adam (no EMA/metrics)", jax.jit(fwd_bwd_adam), state, wav, key)
+
 
 if __name__ == "__main__":
     main()

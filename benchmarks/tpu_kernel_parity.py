@@ -153,7 +153,7 @@ def check_golden_freerun():
         print("golden_freerun: SKIP (no committed golden checkpoint)")
         return True
     model, params, meta = load_golden()
-    mels, _ = eval_mels(n=2)
+    mels, _ = eval_mels(n=8)  # pallas path needs batch % 8 == 0
     fg = Fastgen(model)
     ok = True
     for wd in (jnp.bfloat16, jnp.int8):

@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "tests", "golden", "tiny_ce")
-# held-out utterance seeds (the training corpus uses seed=0's stream)
-EVAL_SEEDS = (101, 202, 303, 404)
+# held-out utterance seeds (the training corpus uses seed=0's stream);
+# the first 4 produced the committed meta.json metrics, the rest exist so
+# Pallas-path checks can run at batch 8 (kernel needs B % 8 == 0)
+EVAL_SEEDS = (101, 202, 303, 404, 505, 606, 707, 808)
 GEN_SAMPLES = 12000  # 0.75 s
 
 
