@@ -34,7 +34,7 @@ SMALL = dict(
 B, L = 8, 96
 
 
-def check(loss_type, use_mu_law, weight_dtype):
+def check(loss_type, use_mu_law, weight_dtype, act_scale="row"):
     cfg = config_lib.WavenetConfig(
         loss_type=loss_type, use_mu_law=use_mu_law, double_gate_width=False,
         upsample_act="leaky_relu", **SMALL,
@@ -56,11 +56,17 @@ def check(loss_type, use_mu_law, weight_dtype):
     )
     want = np.asarray(want)
 
-    kw = fk.build_kernel_weights(cfg, params, weight_dtype=weight_dtype)
+    amax = (
+        fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
+        if act_scale == "static" else None
+    )
+    kw = fk.build_kernel_weights(
+        cfg, params, weight_dtype=weight_dtype, act_amax=amax
+    )
     seg = kw.pop("out_pad_seg"); kw.pop("out_pad")
     gen = fk.make_generate_fn(
-        cfg, B, L, weight_dtype=weight_dtype, teacher_forced=True,
-        collect_out_params=True, greedy=True,
+        cfg, B, L, weight_dtype=weight_dtype, act_scale=act_scale,
+        teacher_forced=True, collect_out_params=True, greedy=True,
     )
     enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
     _, outp = gen(kw, enc_t, 123, tf=jnp.transpose(jnp.asarray(wav[:, :L])))
@@ -76,15 +82,15 @@ def check(loss_type, use_mu_law, weight_dtype):
     err = np.abs(got - want).max()
     tol = (5e-3 if weight_dtype == jnp.bfloat16 else 5e-2) * scale
     status = "OK" if err < tol else "FAIL"
-    print(f"{loss_type}/mu={use_mu_law}/{weight_dtype.__name__}: "
+    print(f"{loss_type}/mu={use_mu_law}/{weight_dtype.__name__}/{act_scale}: "
           f"max_err {err:.5f} (tol {tol:.5f}) {status}", file=sys.stderr)
     return err < tol
 
 
-def check_streaming(weight_dtype):
-    """Chunked == single-kernel bit-identity on hardware.  Run for BOTH
-    weight dtypes: the int8 streaming state is a different layout (ring rows
-    pre-quantized with log8 exponent lanes carried across chunk boundaries)."""
+def check_streaming(weight_dtype, act_scale="row"):
+    """Chunked == single-kernel bit-identity on hardware.  Run for all
+    streamed-state layouts: bf16 rings, int8+log8-exponent rings (row
+    scales), and bare int8 rings (static scales)."""
     cfg = config_lib.WavenetConfig(
         loss_type="mol", use_mu_law=False, double_gate_width=False,
         upsample_act="leaky_relu", **SMALL,
@@ -95,13 +101,19 @@ def check_streaming(weight_dtype):
     wav = np.clip(0.3 * rng.randn(B, 1280), -0.99, 0.99).astype(np.float32)
     mel = stft.melspectrogram_np(wav)
     fg = Fastgen(model)
-    kw = dict(seed=3, length=96, greedy=True, weight_dtype=weight_dtype)
+    amax = (
+        fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
+        if act_scale == "static" else None
+    )
+    kw = dict(
+        seed=3, length=96, greedy=True, weight_dtype=weight_dtype, act_amax=amax
+    )
     full = np.asarray(fg.generate_pallas(params, mel, **kw))
     chunked = np.asarray(
         fg.generate_pallas(params, mel, chunk=32, mel_bucket=None, **kw)
     )
     same = np.array_equal(full, chunked)
-    print(f"streaming bit-identity ({weight_dtype.__name__}): "
+    print(f"streaming bit-identity ({weight_dtype.__name__}/{act_scale}): "
           f"{'OK' if same else 'FAIL'}", file=sys.stderr)
     return same
 
@@ -153,13 +165,22 @@ def check_golden_freerun():
         print("golden_freerun: SKIP (no committed golden checkpoint)")
         return True
     model, params, meta = load_golden()
-    mels, _ = eval_mels(n=8)  # pallas path needs batch % 8 == 0
+    mels, wavs = eval_mels(n=8)  # pallas path needs batch % 8 == 0
     fg = Fastgen(model)
+    amax = jax.jit(fg.calibrate_act_amax)(
+        params, jnp.asarray(wavs), jnp.asarray(mels)
+    )
     ok = True
-    for wd in (jnp.bfloat16, jnp.int8):
+    for name, wd, am in (
+        ("bfloat16", jnp.bfloat16, None),
+        ("int8", jnp.int8, None),
+        ("int8_static", jnp.int8, amax),
+    ):
         audio = np.asarray(
             jax.jit(
-                lambda p, m, wd=wd: fg.generate_pallas(p, m, seed=7, weight_dtype=wd)
+                lambda p, m, wd=wd, am=am: fg.generate_pallas(
+                    p, m, seed=7, weight_dtype=wd, act_amax=am
+                )
             )(params, jnp.asarray(mels))
         )
         m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
@@ -167,7 +188,7 @@ def check_golden_freerun():
             m_corr > mm_corr + 0.05 and m_corr > meta["matched_corr"] - 0.15
         )
         print(
-            f"golden_freerun[{jnp.dtype(wd).name}]: matched {m_corr:.3f} "
+            f"golden_freerun[{name}]: matched {m_corr:.3f} "
             f"(committed {meta['matched_corr']:.3f}) vs mismatched {mm_corr:.3f} "
             f"-> {'ok' if good else 'FAIL'}"
         )
@@ -181,8 +202,10 @@ def main():
     for lt, mu in (("mol", False), ("ce", True), ("gauss", False)):
         for wd in (jnp.bfloat16, jnp.int8):
             ok &= check(lt, mu, wd)
+    ok &= check("mol", False, jnp.int8, act_scale="static")
     for wd in (jnp.bfloat16, jnp.int8):
         ok &= check_streaming(wd)
+    ok &= check_streaming(jnp.int8, act_scale="static")
     ok &= check_golden_freerun()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -34,10 +34,15 @@ if __name__ == "__main__":
                         help="with --pallas: stream W8A8 int8 weights (the "
                              "fastest serving mode; quality-gated by "
                              "tools/quality_smoke.py --compare_pallas)")
+    parser.add_argument("--int8_static", action="store_true",
+                        help="with --int8: static per-layer activation "
+                             "scales calibrated on the first source wavs "
+                             "(fewer VPU passes per step; needs .wav inputs)")
     args = parser.parse_args()
     evaluation.generate_wavenet(
         args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
         args.seed, use_pallas=args.pallas,
         sample_length=args.sample_length, npy_only=args.npy_only,
         streaming_chunk=args.streaming_chunk or None, int8=args.int8,
+        int8_static=args.int8_static,
     )

@@ -54,6 +54,14 @@ def load_mel_batch(files, sample_length: int = -1):
     return stft_ops.melspectrogram_np(batch)
 
 
+def _fixed_len(w, n):
+    """Pad/trim a 1-D wav to exactly n samples (calibration batches stack)."""
+    out = np.zeros(n, np.float32)
+    m = min(len(w), n)
+    out[:m] = w[:m]
+    return out
+
+
 def load_eval_model(ckpt_dir: str):
     """Find the config json + checkpoint in a run dir; return
     (cfg, ema_params) — eval always uses the EMA weights
@@ -105,6 +113,7 @@ def load_eval_model(ckpt_dir: str):
 def generate_wavenet(
     source_path, ckpt_dir, save_path, batch_size=4, seed=0, use_pallas=False,
     sample_length=-1, npy_only=False, streaming_chunk=None, int8=False,
+    int8_static=False,
 ):
     """AR teacher synthesis over a file batch (reference eval_wavenet.py).
 
@@ -115,20 +124,40 @@ def generate_wavenet(
     in the batch set (otherwise each distinct (batch, length) pays a
     compile).
     int8: with use_pallas, stream W8A8 int8 weights — the fastest serving
-    mode (1.12x bf16 at B=512, benchmarks/ab_ar_dtype.py), quality-gated on
-    trained weights by tools/quality_smoke.py --compare_pallas."""
+    mode, quality-gated on trained weights by tools/quality_smoke.py
+    --compare_pallas.
+    int8_static: with int8, calibrate static per-layer activation scales on
+    the first batch of source wavs (ops/fastgen_kernel.py act_scale=
+    'static'); requires .wav sources (mel-only .npy inputs have no audio to
+    calibrate on)."""
     import jax
     import jax.numpy as jnp
 
     wd = jnp.int8 if int8 else jnp.bfloat16
 
     from nsynth_wavenet_tpu.models.fastgen import Fastgen, jit_generate_sharded
+    from nsynth_wavenet_tpu.ops import stft as stft_ops
     from nsynth_wavenet_tpu.parallel import mesh as mesh_lib
 
     model, params = load_eval_model(ckpt_dir)
     fg = Fastgen(model)
     os.makedirs(save_path, exist_ok=True)
     files = discover_files(source_path, npy_only)
+
+    act_amax = None
+    if int8_static:
+        assert int8 and use_pallas, "--int8_static needs --pallas --int8"
+        cal_files = [f for f in files if f.endswith(".wav")][:8]
+        assert cal_files, "static act scales need .wav sources to calibrate on"
+        cal_wav = np.stack([
+            _fixed_len(data_lib.read_wav(f, expect_sr=16000)[0], 16000)
+            for f in cal_files
+        ])
+        act_amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(cal_wav),
+            jnp.asarray(stft_ops.melspectrogram_np(cal_wav)),
+        )
+        log.info("calibrated static act scales on %d wavs", len(cal_files))
     # multi-chip host: shard the batch over all devices that divide it
     # (single device -> plain jit; reference instead runs one eval process
     # per GPU, run_all_eval.py)
@@ -151,12 +180,15 @@ def generate_wavenet(
                 # single compiled (batch, chunk) kernel serves any length
                 audio = np.asarray(
                     fg.generate_pallas(params, mel, seed + i,
-                                       chunk=streaming_chunk, weight_dtype=wd)
+                                       chunk=streaming_chunk, weight_dtype=wd,
+                                       act_amax=act_amax)
                 )[: len(chunk)]
             else:
                 audio = np.asarray(
                     jax.jit(
-                        lambda p, m, s: fg.generate_pallas(p, m, s, weight_dtype=wd)
+                        lambda p, m, s: fg.generate_pallas(
+                            p, m, s, weight_dtype=wd, act_amax=act_amax
+                        )
                     )(params, mel, seed + i)
                 )[: len(chunk)]
         elif mel.shape[0] == batch_size:

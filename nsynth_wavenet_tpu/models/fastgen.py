@@ -396,6 +396,44 @@ class Fastgen:
             pieces.append(audio)
         return jnp.concatenate(pieces, axis=1)[:, :L]
 
+    def calibrate_act_amax(self, params, wav, mel):
+        """Per-layer abs-max of the residual-stream activation entering each
+        dilated layer — the quantity the W8A8 act_scale='static' kernel
+        quantizes — measured by a teacher-forced forward over calibration
+        audio.  Returns [num_layers] f32 (host-fetchable; pass to
+        generate_pallas(act_amax=...)).
+
+        Memory note: this is a full-length f32 forward — calibrate on a
+        small batch (8 rows of 1 s is plenty; amax reduces over all
+        rows/timesteps), not the serving batch.
+
+        The loop mirrors Wavenet.feed_forward's residual recursion in f32
+        (the kernel's l stream is f32); skip/output heads are not needed.
+        """
+        cfg = self.cfg
+        from nsynth_wavenet_tpu.models import wavenet as wn
+
+        enc = self.model.encode_signal({"wav": wav})
+        mel_en, _ = self.model.deconv_stack(params, mel)
+        # the deconv trunk may run bf16 (cfg.compute_dtype); the calibration
+        # recursion itself stays f32 like the kernel's l stream
+        mel_en = mel_en.astype(jnp.float32)
+        x = enc["wav_scaled"].astype(jnp.float32)[..., None]
+        l = conv_ops.shift_right(x)
+        l = conv_ops.conv1d(params["conv_start"], l)
+        m = cfg.gate_width // 2
+        amax = []
+        for i in range(cfg.num_layers):
+            amax.append(jnp.max(jnp.abs(l)))
+            lp = params["layers"][i]
+            dilation = 2 ** (i % cfg.num_stages)
+            d = conv_ops.conv1d(lp["dilated"], l, dilation=dilation, causal=True)
+            c = conv_ops.conv1d(lp["mel_cond"], mel_en)
+            d = wn.condition_add(d, c)
+            d = jax.nn.sigmoid(d[:, :, :m]) * jnp.tanh(d[:, :, m:])
+            l = l + conv_ops.conv1d(lp["res"], d)
+        return jnp.stack(amax)
+
     def generate_pallas(
         self,
         params,
@@ -406,6 +444,7 @@ class Fastgen:
         cond_offset: int = 0,
         weight_dtype=None,
         rs_dtype=None,
+        act_amax=None,
         greedy: bool = False,
         interpret: bool = False,
         chunk: Optional[int] = None,
@@ -415,7 +454,11 @@ class Fastgen:
         weight streaming, ring-buffer DMA, sampling — inside ONE Pallas
         kernel.  ~1.5x the XLA scan path in bf16; pass weight_dtype=jnp.int8
         for per-channel-quantized weights (halves the streaming floor again;
-        serving-quality tradeoff).
+        serving-quality tradeoff).  act_amax (int8 only): calibrated
+        per-layer activation abs-max (calibrate_act_amax) switches the
+        residual-stream quantization from per-row dynamic log8 scales to
+        static per-layer scales — fewer VPU passes and one merged int8
+        matmul per layer (ops/fastgen_kernel.py act_scale='static').
 
         Requires filter_length 3, lane-aligned widths (multiples of 128),
         and batch a multiple of 8.  Returns float wav [B, L].
@@ -441,15 +484,17 @@ class Fastgen:
         if weight_dtype is None:
             weight_dtype = jnp.bfloat16
         kw = fk.build_kernel_weights(
-            cfg, params, weight_dtype=weight_dtype, rs_dtype=rs_dtype
+            cfg, params, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
+            act_amax=act_amax,
         )
         kw.pop("out_pad"), kw.pop("out_pad_seg")
+        act_scale = "static" if act_amax is not None else "row"
 
         if chunk is None:
             enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
             gen = fk.cached_generate_fn(
                 cfg, B, L, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
-                greedy=greedy, interpret=interpret,
+                act_scale=act_scale, greedy=greedy, interpret=interpret,
             )
             return gen(kw, enc_t, seed)
 
@@ -462,7 +507,8 @@ class Fastgen:
             encoding = jnp.pad(encoding, ((0, 0), (0, need - encoding.shape[1]), (0, 0)))
         gen = fk.cached_generate_fn(
             cfg, B, chunk, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
-            greedy=greedy, interpret=interpret, streaming=True,
+            act_scale=act_scale, greedy=greedy, interpret=interpret,
+            streaming=True,
         )
         state = None
         pieces = []

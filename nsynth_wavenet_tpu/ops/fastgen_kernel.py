@@ -72,13 +72,24 @@ def _quantize_rows(w, dtype):
     return q, scale.astype(jnp.float32)
 
 
-def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16, rs_dtype=None):
+def build_kernel_weights(
+    cfg, params, weight_dtype=jnp.bfloat16, rs_dtype=None, act_amax=None,
+    pair_ring=False,
+):
     """Pack the teacher's params into the kernel's streamed/resident arrays.
 
     rs_dtype overrides the res/skip matrices' storage dtype (default: same
     as weight_dtype).  W8A8 with rs_dtype=bf16 streams ~20% more weight
     bytes but removes the per-layer gate quantization from the VPU critical
     path (the gate feeds the rs matmul directly in bf16).
+
+    act_amax [num_layers] f32 (see Fastgen.calibrate_act_amax): calibrated
+    per-layer abs-max of the residual-stream activation.  When given (int8
+    only) the dict gains the static-activation-scale arrays used by the
+    act_scale="static" kernel variant:
+      s_act_inv [NL] f32        127 / amax  (quantization multiplier)
+      s_main    [NL, 1, gw] f32 amax/127 * s_comb  (dequant folded with the
+                                weight scales into ONE post-matmul multiply)
 
     Returns a dict of arrays (all device-placeable):
       w_comb [NL, 3*width + dw, gw]   streamed (bf16 or int8)
@@ -147,9 +158,18 @@ def build_kernel_weights(cfg, params, weight_dtype=jnp.bfloat16, rs_dtype=None):
 
     w_out1 = jnp.concatenate([k2d(params["out1"]), k2d(params["mel_cond_out1"])], axis=0)
 
+    s_act_inv = s_main = None
+    if act_amax is not None:
+        assert weight_dtype == jnp.int8, "static activation scales are W8A8-only"
+        amax = jnp.maximum(jnp.asarray(act_amax, jnp.float32), 1e-8)
+        s_act_inv = 127.0 / amax
+        s_main = (amax / 127.0)[:, None, None] * jnp.stack(s_comb)
+
     return {
         "w_comb": jnp.stack(w_comb),
         "s_comb": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_comb),
+        "s_act_inv": s_act_inv,
+        "s_main": s_main,
         "b_comb": jnp.stack(b_comb),
         "w_rs": jnp.stack(w_rs),
         "s_rs": None if rs_dtype == jnp.bfloat16 else jnp.stack(s_rs),
@@ -210,6 +230,17 @@ def _quant_log8(x):
     return q, e.astype(jnp.int8), r
 
 
+def _quant_static(x, inv):
+    """Quantize an f32 activation block with a precomputed scalar multiplier
+    inv = 127/amax (calibrated per-layer static scale, SMEM-resident): one
+    mul + round + clip — no per-row abs-max reduce on the VPU critical path.
+    Because all three activation segments of a layer (two ring taps + the
+    current residual stream) then share ONE scale, they merge into a single
+    int8 matmul and the dequant multiplier folds into the weight scales at
+    build time (see the act_scale='static' branch of the layer loop)."""
+    return jnp.clip(jnp.round(x * inv), -127.0, 127.0).astype(jnp.int8)
+
+
 def _uniform_from_bits(bits):
     """random bits -> float32 uniform in [1e-5, 1 - 1e-5] (reference samplers
     use the same open interval, loss_func.py:168).
@@ -259,8 +290,18 @@ def make_generate_fn(
     streaming: bool = False,
     int8_combine: str = "f32",
     rs_dtype=None,
+    act_scale: str = "row",
 ):
     """Build the jittable pallas generation function for a fixed (cfg, B, L).
+
+    act_scale (W8A8 only): "row" = per-row dynamic log8 quantization of the
+    residual stream (v3 default); "static" = calibrated per-layer scales
+    (build_kernel_weights act_amax) — the two ring taps and the current
+    activation share one scale, so the three per-segment matmuls merge into
+    ONE int8 matmul, the ring rows drop their exponent lane block (~20%
+    fewer ring-DMA bytes), and the abs-max/exp2 VPU passes disappear; the
+    cost is coarser quantization of rows much quieter than the calibration
+    batch (clipped symmetrically if louder).
 
     Returns fn(kernel_weights, enc_t [L, B, dw] bf16, seed int32)
       -> audio [B, L] f32 (and out_params [B, L, out_pad] if collecting).
@@ -282,10 +323,13 @@ def make_generate_fn(
     is_int8 = weight_dtype == jnp.int8
     rs_dt = weight_dtype if rs_dtype is None else rs_dtype
     is_int8_rs = rs_dt == jnp.int8
-    # int8 ring rows carry the quantized activation payload plus one LANE
-    # block of broadcast log8 exponent code, so taps come back from HBM
-    # already quantized (see the W8A8 section in the layer loop)
-    lrow = width + LANE if is_int8 else width
+    assert act_scale in ("row", "static")
+    act_static = act_scale == "static"
+    assert not act_static or is_int8, "act_scale='static' is W8A8-only"
+    # int8 ring rows carry the quantized activation payload plus (row-scale
+    # mode only) one LANE block of broadcast log8 exponent code, so taps come
+    # back from HBM already quantized (see the W8A8 section in the layer loop)
+    lrow = width + LANE if (is_int8 and not act_static) else width
     ldt = jnp.int8 if is_int8 else jnp.bfloat16
     assert not (streaming and collect_out_params)
     # static head layout (must NOT come from the weights pytree: under jit
@@ -308,6 +352,9 @@ def make_generate_fn(
             scomb_ref = refs[i]; i += 1
         if is_int8_rs:
             srs_ref = refs[i]; i += 1
+        if act_static:
+            sactinv_ref = refs[i]; i += 1  # [NL] f32 SMEM
+            smain_ref = refs[i]; i += 1    # [NL, 1, gw] f32
         wstart_ref = refs[i]; i += 1
         bstart_ref = refs[i]; i += 1
         wskip0_ref = refs[i]; i += 1
@@ -336,6 +383,8 @@ def make_generate_fn(
         lwrite = refs[i]; i += 1      # [2, B, lrow]
         if not is_int8:
             stack = refs[i]; i += 1   # [B, krow] bf16
+        elif act_static:
+            stack_q = refs[i]; i += 1  # [B, 3*width] int8
         w_sem = refs[i]; i += 1       # DMA sems (2,)
         rs_sem = refs[i]; i += 1
         br_sem = refs[i]; i += 1      # (2, 2)
@@ -400,7 +449,10 @@ def make_generate_fn(
             # every later layer's q comes from the END of the previous
             # iteration (overlapping the next layer's weight stream) so no
             # quantization sits between the DMA wait and the matmuls
-            q_l, e_l, r_l = _quant_log8(l)
+            if act_static:
+                q_l = _quant_static(l, sactinv_ref[0])
+            else:
+                q_l, e_l, r_l = _quant_log8(l)
 
         for li in range(NL):
             slot = li % 2
@@ -410,7 +462,37 @@ def make_generate_fn(
 
             pltpu.make_async_copy(wcomb_ref.at[li], wbuf.at[slot], w_sem.at[slot]).wait()
 
-            if is_int8:
+            if is_int8 and act_static:
+                # W8A8 with STATIC per-layer activation scales: taps, the
+                # current activation, and the ring payload all share the
+                # calibrated scale for this layer, so the three activation
+                # segments run as ONE [B, 3*width] int8 matmul whose dequant
+                # multiplier (scale * per-channel weight scale) was folded
+                # into s_main at build time.  vs the per-row path this drops
+                # the abs-max reduce, the exp2 dequants, two matmul issues,
+                # and the exponent lane block's ring-DMA bytes; rows much
+                # quieter than the calibration batch quantize coarser.
+                w_all = wbuf[slot]
+                acc_enc = (
+                    jnp.dot(q_enc, w_all[3 * width :],
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+                    * r_enc
+                )
+                for j in (0, 1):
+                    pltpu.make_async_copy(
+                        lbuf_ref.at[0], bread.at[slot, j], br_sem.at[slot, j]
+                    ).wait()
+                    stack_q[:, j * width : (j + 1) * width] = bread[slot, j]
+                stack_q[:, 2 * width :] = q_l
+                mm = jnp.dot(
+                    stack_q[...], w_all[: 3 * width], preferred_element_type=jnp.int32
+                )
+                d_pre = (
+                    mm.astype(jnp.float32) * smain_ref[li]
+                    + acc_enc * scomb_ref[li]
+                    + bcomb_ref[li][None, :]
+                )
+            elif is_int8:
                 # W8A8 with per-SEGMENT scales: the two dilation taps come
                 # back from the ring ALREADY quantized (int8 payload + log8
                 # exponent lanes), the current activation l was quantized at
@@ -498,7 +580,9 @@ def make_generate_fn(
             # ring slot for steps t+d / t+2d
             if li >= 2:
                 pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
-            if is_int8:
+            if is_int8 and act_static:
+                lwrite[slot] = q_l
+            elif is_int8:
                 lwrite[slot, :, :width] = q_l
                 lwrite[slot, :, width:] = jnp.broadcast_to(e_l, (B, LANE))
             else:
@@ -510,7 +594,10 @@ def make_generate_fn(
             if is_int8 and li + 1 < NL:
                 # quantize the next layer's operand NOW, while its weight/tap
                 # DMAs (started above) are still streaming
-                q_l, e_l, r_l = _quant_log8(l)
+                if act_static:
+                    q_l = _quant_static(l, sactinv_ref[li + 1])
+                else:
+                    q_l, e_l, r_l = _quant_log8(l)
 
         # drain the last two buffer writes before the next grid step reads
         pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
@@ -622,6 +709,11 @@ def make_generate_fn(
         in_specs += [pl.BlockSpec((NL, 1, gw), lambda t: (0, 0, 0))]
     if is_int8_rs:
         in_specs += [pl.BlockSpec((NL, 1, width + skip), lambda t: (0, 0, 0))]
+    if act_static:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # s_act_inv [NL]
+            pl.BlockSpec((NL, 1, gw), lambda t: (0, 0, 0)),  # s_main
+        ]
     in_specs += [
         pl.BlockSpec((8, width), lambda t: (0, 0)),  # w_start
         pl.BlockSpec((1, width), lambda t: (0, 0)),  # b_start
@@ -670,6 +762,8 @@ def make_generate_fn(
         ]
         if not is_int8:
             scratch.append(pltpu.VMEM((B, krow), jnp.bfloat16))  # stack
+        elif act_static:
+            scratch.append(pltpu.VMEM((B, 3 * width), jnp.int8))  # stack_q
         scratch += [
             pltpu.SemaphoreType.DMA((2,)),  # w_sem
             pltpu.SemaphoreType.DMA((2,)),  # rs_sem
@@ -716,6 +810,11 @@ def make_generate_fn(
             args += [kw["s_comb"]]
         if is_int8_rs:
             args += [kw["s_rs"]]
+        if act_static:
+            assert kw.get("s_act_inv") is not None, (
+                "act_scale='static' needs build_kernel_weights(act_amax=...)"
+            )
+            args += [kw["s_act_inv"], kw["s_main"]]
         args += [
             kw["w_start"], kw["b_start"], kw["w_skip0"], kw["b_skip0"],
             kw["w_out1"], kw["b_out1"], kw["w_out2"], kw["b_out2"], lbuf0,

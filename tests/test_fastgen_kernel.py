@@ -114,6 +114,53 @@ def test_kernel_int8_close_to_bf16():
     assert err.max() < 0.05 * scale, (err.max(), scale)
 
 
+def test_kernel_int8_static_scale_close_to_bf16():
+    """W8A8 with calibrated static per-layer activation scales
+    (act_scale='static': one merged int8 matmul per layer, no per-row
+    abs-max pass) must stay close to bf16 under teacher forcing when
+    calibrated on the same audio it generates."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    tf = jnp.transpose(jnp.asarray(wav[:, :L]))
+    amax = fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
+    assert amax.shape == (cfg.num_layers,) and bool(jnp.all(amax > 0))
+
+    outs = {}
+    for name, wd, am in (("bf16", jnp.bfloat16, None), ("static", jnp.int8, amax)):
+        kw = fk.build_kernel_weights(cfg, params, weight_dtype=wd, act_amax=am)
+        kw.pop("out_pad"), kw.pop("out_pad_seg")
+        gen = fk.make_generate_fn(
+            cfg, B, L, weight_dtype=wd, teacher_forced=True,
+            act_scale="static" if am is not None else "row",
+            collect_out_params=True, greedy=True, interpret=True,
+        )
+        _, outp = gen(kw, enc_t, 123, tf=tf)
+        outs[name] = np.asarray(outp)
+    err = np.abs(outs["static"] - outs["bf16"])
+    scale = np.abs(outs["bf16"]).max()
+    assert err.max() < 0.05 * scale, (err.max(), scale)
+
+
+def test_pallas_streaming_equals_full_int8_static():
+    """Streaming bit-identity for the static-scale W8A8 variant (ring rows
+    carry bare int8 payloads, scales ride in SMEM)."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    amax = fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
+    kw = dict(
+        seed=3, length=96, greedy=True, interpret=True,
+        weight_dtype=jnp.int8, act_amax=amax,
+    )
+    full = np.asarray(fg.generate_pallas(params, mel, **kw))
+    chunked = np.asarray(
+        fg.generate_pallas(params, mel, chunk=32, mel_bucket=None, **kw)
+    )
+    np.testing.assert_array_equal(full, chunked)
+
+
 def test_pallas_streaming_equals_full():
     """Chunked pallas generation (state carried through lbuf/xh/t0) must be
     bit-identical to the single-kernel run in greedy mode."""

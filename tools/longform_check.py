@@ -39,7 +39,9 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
     from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    wd = {"bf16": jnp.bfloat16, "int8": jnp.int8}[weight_dtype]
+    wd = {
+        "bf16": jnp.bfloat16, "int8": jnp.int8, "int8_static": jnp.int8,
+    }[weight_dtype]
 
     model, params = evaluation.load_eval_model(ckpt_dir)
     fg = Fastgen(model)
@@ -53,8 +55,19 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
     )
     mel = stft.melspectrogram_np(wavs)
 
+    act_amax = None
+    if weight_dtype == "int8_static":
+        import jax
+
+        cal = wavs[:, :sr]  # 1 s calibration slice of the held-out audio
+        act_amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(cal), jnp.asarray(stft.melspectrogram_np(cal))
+        )
+
     audio = np.asarray(
-        fg.generate_pallas(params, mel, seed=0, weight_dtype=wd, chunk=chunk)
+        fg.generate_pallas(
+            params, mel, seed=0, weight_dtype=wd, chunk=chunk, act_amax=act_amax
+        )
     )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -88,7 +101,7 @@ if __name__ == "__main__":
     ap.add_argument("--ckpt_dir", required=True)
     ap.add_argument("--seconds", default=12, type=int)
     ap.add_argument("--chunk", default=4000, type=int)
-    ap.add_argument("--weight_dtype", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--weight_dtype", default="bf16", choices=["bf16", "int8", "int8_static"])
     ap.add_argument("--out_dir", default="/tmp/longform_check")
     args = ap.parse_args()
     sys.exit(main(args.ckpt_dir, args.seconds, args.chunk,

@@ -292,9 +292,18 @@ def main(steps, out_dir, corpus="tones", head="ce", n_utts=24):
             # (int8 at B=8 is validated on hardware: tpu_kernel_parity.py
             # and longform_check both run it)
             mel_rep = np.tile(mel, (rep, 1, 1))
-            for mode, wd in (("pallas-bf16", jnp.bfloat16), ("pallas-int8", jnp.int8)):
+            amax = jax.jit(fg.calibrate_act_amax)(
+                params, jnp.asarray(wavs), jnp.asarray(mel)
+            )
+            for mode, wd, am in (
+                ("pallas-bf16", jnp.bfloat16, None),
+                ("pallas-int8", jnp.int8, None),
+                ("pallas-int8s", jnp.int8, amax),  # static act scales
+            ):
                 audio_p = np.asarray(
-                    fg.generate_pallas(params, mel_rep, seed=0, weight_dtype=wd)
+                    fg.generate_pallas(
+                        params, mel_rep, seed=0, weight_dtype=wd, act_amax=am
+                    )
                 )[: len(wavs)]
                 pmc, pmmc = mel_track_corr(
                     audio_p, mel, len(t), out_dir=out_dir, wav_prefix=f"gen_{mode}"
@@ -345,9 +354,18 @@ def main(steps, out_dir, corpus="tones", head="ce", n_utts=24):
         rep = 8 // mel.shape[0]  # kernel needs batch % 8 == 0
         mel_rep = np.tile(mel, (rep, 1, 1))
         base_med = float(np.median([r[2] for r in results]))
-        for mode, wd in (("pallas-bf16", jnp.bfloat16), ("pallas-int8", jnp.int8)):
+        amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(wavs), jnp.asarray(mel)
+        )
+        for mode, wd, am in (
+            ("pallas-bf16", jnp.bfloat16, None),
+            ("pallas-int8", jnp.int8, None),
+            ("pallas-int8s", jnp.int8, amax),  # static act scales
+        ):
             audio_p = np.asarray(
-                fg.generate_pallas(params, mel_rep, seed=0, weight_dtype=wd)
+                fg.generate_pallas(
+                    params, mel_rep, seed=0, weight_dtype=wd, act_amax=am
+                )
             )[: len(pitches)]
             flats, corrs = [], []
             for i, f0 in enumerate(pitches):
