@@ -62,25 +62,30 @@ def main():
     mel = stft.melspectrogram_np(wav)
     gen_len = (mel.shape[1] - 1) * 200  # trim partial last frame
 
-    # fused Pallas kernel path with W8A8 int8 streamed weights — the fastest
-    # serving mode (interleaved A/B: 1.12x over bf16 at B=512,
-    # benchmarks/ab_ar_dtype.py) and quality-validated on trained weights:
-    # teacher-forced parity max_err 0.0018 (benchmarks/tpu_kernel_parity.py)
-    # and the speech-corpus conditioning-tracking gate passes at parity with
-    # the XLA sampler (tools/quality_smoke.py --corpus speech
-    # --compare_pallas).  Falls back to the XLA lax.scan path if the Pallas
-    # compile fails.
+    # fused Pallas kernel path with W8A8 int8 streamed weights and
+    # calibrated static activation scales (v4) — the fastest serving mode
+    # (interleaved A/Bs at B=512: v4 = 1.37x over bf16 vs v3's 1.32x,
+    # benchmarks/ab_int8_combine.py) and quality-validated on trained
+    # weights: teacher-forced parity (benchmarks/tpu_kernel_parity.py),
+    # golden free-run mel corr at parity with the per-row int8 path, and
+    # the speech-corpus conditioning-tracking gate (tools/quality_smoke.py
+    # --corpus speech --compare_pallas).  Falls back to the XLA lax.scan
+    # path if the Pallas compile fails.
     import jax.numpy as jnp
 
     t0 = time.time()
     try:
+        amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(wav[:8]), jnp.asarray(mel[:8])
+        )
         gen = jax.jit(
             lambda p, m, s: fg.generate_pallas(
-                p, m, s, length=gen_len, weight_dtype=jnp.int8
+                p, m, s, length=gen_len, weight_dtype=jnp.int8, act_amax=amax,
+                gate_static=True,
             )
         )
         out = np.asarray(gen(params, mel, 1))
-        print("path: pallas fused kernel (W8A8 int8 weights)", file=sys.stderr)
+        print("path: pallas fused kernel (W8A8, static act scales)", file=sys.stderr)
     except Exception as e:  # backend-specific pallas failure
         print(f"pallas path failed ({type(e).__name__}); XLA scan fallback", file=sys.stderr)
         gen = jax.jit(

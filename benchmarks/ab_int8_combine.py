@@ -1,12 +1,18 @@
 """Interleaved same-process A/B of W8A8 kernel variants at serving batch:
 
-  * bf16        — bf16 weights (baseline)
-  * int8        — W8A8 v3: per-use DMA waits, hoisted operand quantization,
-                  lane-sliced ring exponents, f32 post-matmul combine
-  * int8_static — v4 candidate: calibrated static per-layer activation
-                  scales — taps + current activation merge into ONE int8
-                  matmul, no per-row abs-max/exp2 passes, ring rows drop
-                  the exponent lane block (~20% fewer ring-DMA bytes)
+  * bf16             — bf16 weights (baseline)
+  * int8_static      — W8A8 v4 (shipped): calibrated static per-layer
+                       activation scales — taps + current activation merge
+                       into ONE int8 matmul, no per-row abs-max/exp2
+                       passes, ring rows drop the exponent lane block
+  * int8_static_gate — v4 plus a fixed 1/127 gate scale (no per-row gate
+                       abs-max pass; scale folded into s_rs at build)
+
+Measured dead end (code removed): a pair-ring layout fetching both
+dilation taps in ONE DMA (ring slots [l_t, l_{t-d}], 30 fewer DMA waits
+per step) measured 6% SLOWER than the split ring (234.2 vs 221.6 us) —
+per-layer tap-DMA wait latency is not the serialization bottleneck, and
+the doubled ring-write bytes cost more than the saved wait.
 
 Earlier round-2 measurements (same harness): the v3 schedule itself took
 int8 from 1.12x to 1.26x bf16; a bf16 post-matmul combine measured WORSE
@@ -38,11 +44,11 @@ from nsynth_wavenet_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-# (name, weight_dtype, int8_combine, rs_dtype, act_scale)
+# (name, weight_dtype, int8_combine, rs_dtype, act_scale, gate_static)
 VARIANTS = (
-    ("bf16", jnp.bfloat16, "f32", None, "row"),
-    ("int8", jnp.int8, "f32", None, "row"),
-    ("int8_static", jnp.int8, "f32", None, "static"),
+    ("bf16", jnp.bfloat16, "f32", None, "row", False),
+    ("int8_static", jnp.int8, "f32", None, "static", False),
+    ("int8_static_gate", jnp.int8, "f32", None, "static", True),
 )
 
 
@@ -76,16 +82,17 @@ def main():
     print(f"calibrated act amax: {np.asarray(amax).round(3).tolist()}", file=sys.stderr)
 
     gens, kws = {}, {}
-    for name, wd, comb, rsd, ascale in VARIANTS:
+    for name, wd, comb, rsd, ascale, gs in VARIANTS:
         kw = jax.device_put(
             {k: v for k, v in fk.build_kernel_weights(
                 cfg, params, weight_dtype=wd, rs_dtype=rsd,
-                act_amax=amax if ascale == "static" else None).items()
+                act_amax=amax if ascale == "static" else None,
+                gate_static=gs).items()
              if not isinstance(v, int) and v is not None}
         )
         gen = fk.cached_generate_fn(
             cfg, B, gen_len, weight_dtype=wd, int8_combine=comb, rs_dtype=rsd,
-            act_scale=ascale,
+            act_scale=ascale, gate_scale="static" if gs else "row",
         )
         t0 = time.time()
         out = np.asarray(gen(kw, enc_t, 0))

@@ -60,12 +60,15 @@ def check(loss_type, use_mu_law, weight_dtype, act_scale="row"):
         fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
         if act_scale == "static" else None
     )
+    static = act_scale == "static"
     kw = fk.build_kernel_weights(
-        cfg, params, weight_dtype=weight_dtype, act_amax=amax
+        cfg, params, weight_dtype=weight_dtype, act_amax=amax,
+        gate_static=static,
     )
     seg = kw.pop("out_pad_seg"); kw.pop("out_pad")
     gen = fk.make_generate_fn(
         cfg, B, L, weight_dtype=weight_dtype, act_scale=act_scale,
+        gate_scale="static" if static else "row",
         teacher_forced=True, collect_out_params=True, greedy=True,
     )
     enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
@@ -106,7 +109,8 @@ def check_streaming(weight_dtype, act_scale="row"):
         if act_scale == "static" else None
     )
     kw = dict(
-        seed=3, length=96, greedy=True, weight_dtype=weight_dtype, act_amax=amax
+        seed=3, length=96, greedy=True, weight_dtype=weight_dtype,
+        act_amax=amax, gate_static=act_scale == "static",
     )
     full = np.asarray(fg.generate_pallas(params, mel, **kw))
     chunked = np.asarray(
@@ -179,7 +183,8 @@ def check_golden_freerun():
         audio = np.asarray(
             jax.jit(
                 lambda p, m, wd=wd, am=am: fg.generate_pallas(
-                    p, m, seed=7, weight_dtype=wd, act_amax=am
+                    p, m, seed=7, weight_dtype=wd, act_amax=am,
+                    gate_static=am is not None,
                 )
             )(params, jnp.asarray(mels))
         )

@@ -181,13 +181,15 @@ def generate_wavenet(
                 audio = np.asarray(
                     fg.generate_pallas(params, mel, seed + i,
                                        chunk=streaming_chunk, weight_dtype=wd,
-                                       act_amax=act_amax)
+                                       act_amax=act_amax,
+                                       gate_static=act_amax is not None)
                 )[: len(chunk)]
             else:
                 audio = np.asarray(
                     jax.jit(
                         lambda p, m, s: fg.generate_pallas(
-                            p, m, s, weight_dtype=wd, act_amax=act_amax
+                            p, m, s, weight_dtype=wd, act_amax=act_amax,
+                            gate_static=act_amax is not None,
                         )
                     )(params, mel, seed + i)
                 )[: len(chunk)]

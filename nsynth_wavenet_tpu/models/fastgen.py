@@ -445,6 +445,7 @@ class Fastgen:
         weight_dtype=None,
         rs_dtype=None,
         act_amax=None,
+        gate_static: bool = False,
         greedy: bool = False,
         interpret: bool = False,
         chunk: Optional[int] = None,
@@ -485,16 +486,18 @@ class Fastgen:
             weight_dtype = jnp.bfloat16
         kw = fk.build_kernel_weights(
             cfg, params, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
-            act_amax=act_amax,
+            act_amax=act_amax, gate_static=gate_static,
         )
         kw.pop("out_pad"), kw.pop("out_pad_seg")
         act_scale = "static" if act_amax is not None else "row"
+        gate_scale = "static" if gate_static else "row"
 
         if chunk is None:
             enc_t = jnp.transpose(encoding, (1, 0, 2))[cond_offset : cond_offset + L]
             gen = fk.cached_generate_fn(
                 cfg, B, L, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
-                act_scale=act_scale, greedy=greedy, interpret=interpret,
+                act_scale=act_scale, gate_scale=gate_scale,
+                greedy=greedy, interpret=interpret,
             )
             return gen(kw, enc_t, seed)
 
@@ -507,8 +510,8 @@ class Fastgen:
             encoding = jnp.pad(encoding, ((0, 0), (0, need - encoding.shape[1]), (0, 0)))
         gen = fk.cached_generate_fn(
             cfg, B, chunk, weight_dtype=weight_dtype, rs_dtype=rs_dtype,
-            act_scale=act_scale, greedy=greedy, interpret=interpret,
-            streaming=True,
+            act_scale=act_scale, gate_scale=gate_scale,
+            greedy=greedy, interpret=interpret, streaming=True,
         )
         state = None
         pieces = []

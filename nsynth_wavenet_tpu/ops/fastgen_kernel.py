@@ -74,7 +74,7 @@ def _quantize_rows(w, dtype):
 
 def build_kernel_weights(
     cfg, params, weight_dtype=jnp.bfloat16, rs_dtype=None, act_amax=None,
-    pair_ring=False,
+    gate_static=False,
 ):
     """Pack the teacher's params into the kernel's streamed/resident arrays.
 
@@ -90,6 +90,11 @@ def build_kernel_weights(
       s_act_inv [NL] f32        127 / amax  (quantization multiplier)
       s_main    [NL, 1, gw] f32 amax/127 * s_comb  (dequant folded with the
                                 weight scales into ONE post-matmul multiply)
+
+    gate_static (int8 rs only): quantize the gate with the fixed scale
+    1/127 (the gate is sigmoid*tanh, bounded in (-1, 1), so this cannot
+    clip) — s_rs is pre-divided by 127 here so the kernel's rs dequant
+    stays one multiply; removes the per-row gate abs-max pass.
 
     Returns a dict of arrays (all device-placeable):
       w_comb [NL, 3*width + dw, gw]   streamed (bf16 or int8)
@@ -165,6 +170,12 @@ def build_kernel_weights(
         s_act_inv = 127.0 / amax
         s_main = (amax / 127.0)[:, None, None] * jnp.stack(s_comb)
 
+    s_rs_out = None
+    if rs_dtype != jnp.bfloat16:
+        s_rs_out = jnp.stack(s_rs)
+        if gate_static:
+            s_rs_out = s_rs_out * (1.0 / 127.0)
+
     return {
         "w_comb": jnp.stack(w_comb),
         "s_comb": None if weight_dtype == jnp.bfloat16 else jnp.stack(s_comb),
@@ -172,7 +183,7 @@ def build_kernel_weights(
         "s_main": s_main,
         "b_comb": jnp.stack(b_comb),
         "w_rs": jnp.stack(w_rs),
-        "s_rs": None if rs_dtype == jnp.bfloat16 else jnp.stack(s_rs),
+        "s_rs": s_rs_out,
         "b_rs": jnp.stack(b_rs),
         "w_start": w_start,
         "b_start": params["conv_start"]["b"][None, :],
@@ -291,6 +302,7 @@ def make_generate_fn(
     int8_combine: str = "f32",
     rs_dtype=None,
     act_scale: str = "row",
+    gate_scale: str = "row",
 ):
     """Build the jittable pallas generation function for a fixed (cfg, B, L).
 
@@ -317,8 +329,6 @@ def make_generate_fn(
     half = cfg.quant_chann // 2
     qc = cfg.quant_chann
     dils = [2 ** (i % cfg.num_stages) for i in range(NL)]
-    offs = np.concatenate([[0], np.cumsum([2 * d for d in dils])]).astype(np.int32)
-    tot_slots = int(offs[-1])
     L_pad = _round_up(length, 8)
     is_int8 = weight_dtype == jnp.int8
     rs_dt = weight_dtype if rs_dtype is None else rs_dtype
@@ -326,6 +336,11 @@ def make_generate_fn(
     assert act_scale in ("row", "static")
     act_static = act_scale == "static"
     assert not act_static or is_int8, "act_scale='static' is W8A8-only"
+    assert gate_scale in ("row", "static")
+    gate_static = gate_scale == "static"
+    assert not gate_static or is_int8_rs, "gate_scale='static' needs int8 rs"
+    offs = np.concatenate([[0], np.cumsum([2 * d for d in dils])]).astype(np.int32)
+    tot_slots = int(offs[-1])
     # int8 ring rows carry the quantized activation payload plus (row-scale
     # mode only) one LANE block of broadcast log8 exponent code, so taps come
     # back from HBM already quantized (see the W8A8 section in the layer loop)
@@ -550,7 +565,18 @@ def make_generate_fn(
             gate = _gate(d_pre, m)  # [B, m]
 
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
-            if is_int8_rs:
+            if is_int8_rs and gate_static:
+                # fixed 1/127 gate scale: |sigmoid*tanh| < 1 strictly, so
+                # round(gate*127) cannot exceed +-127 — no clip, no per-row
+                # abs-max pass; 1/127 is pre-folded into s_rs at build
+                q_gate = jnp.round(gate * 127.0).astype(jnp.int8)
+                rs = (
+                    jnp.dot(q_gate, rsbuf[slot], preferred_element_type=jnp.int32)
+                    .astype(jnp.float32)
+                    * srs_ref[li]
+                    + brs_ref[li][None, :]
+                )
+            elif is_int8_rs:
                 # per-row dynamic scale: gate is bounded in (-1, 1) so a
                 # static 1/127 scale can't overflow, but it is strictly
                 # COARSER for quiet rows (gate amax << 1 during silence),
@@ -580,6 +606,7 @@ def make_generate_fn(
             # ring slot for steps t+d / t+2d
             if li >= 2:
                 pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
+            d = dils[li]
             if is_int8 and act_static:
                 lwrite[slot] = q_l
             elif is_int8:
@@ -587,7 +614,6 @@ def make_generate_fn(
                 lwrite[slot, :, width:] = jnp.broadcast_to(e_l, (B, LANE))
             else:
                 lwrite[slot] = l_bf
-            d = dils[li]
             wrow = offs[li] + jax.lax.rem(t, 2 * d)
             pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
             l = new_l

@@ -144,6 +144,37 @@ def test_kernel_int8_static_scale_close_to_bf16():
     assert err.max() < 0.05 * scale, (err.max(), scale)
 
 
+def test_kernel_gate_static_close_to_dynamic():
+    """Fixed 1/127 gate scale (gate bounded in (-1, 1)) must stay close to
+    the per-row dynamic gate quantization in out_params."""
+    cfg, model, params, wav, mel = _setup("mol", False)
+    fg = Fastgen(model)
+    enc, _ = model.deconv_stack(params, jnp.asarray(mel))
+    off = (enc.shape[1] - 1280) // 2
+    enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
+    tf = jnp.transpose(jnp.asarray(wav[:, :L]))
+    amax = fg.calibrate_act_amax(params, jnp.asarray(wav), jnp.asarray(mel))
+
+    outs = {}
+    for gs in (False, True):
+        kw = fk.build_kernel_weights(
+            cfg, params, weight_dtype=jnp.int8, act_amax=amax,
+            gate_static=gs,
+        )
+        kw.pop("out_pad"), kw.pop("out_pad_seg")
+        gen = fk.make_generate_fn(
+            cfg, B, L, weight_dtype=jnp.int8, act_scale="static",
+            gate_scale="static" if gs else "row",
+            teacher_forced=True, collect_out_params=True, greedy=True,
+            interpret=True,
+        )
+        _, outp = gen(kw, enc_t, 123, tf=tf)
+        outs[gs] = np.asarray(outp)
+    err = np.abs(outs[True] - outs[False])
+    scale = np.abs(outs[False]).max()
+    assert err.max() < 0.05 * scale, (err.max(), scale)
+
+
 def test_pallas_streaming_equals_full_int8_static():
     """Streaming bit-identity for the static-scale W8A8 variant (ring rows
     carry bare int8 payloads, scales ride in SMEM)."""

@@ -66,7 +66,8 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
 
     audio = np.asarray(
         fg.generate_pallas(
-            params, mel, seed=0, weight_dtype=wd, chunk=chunk, act_amax=act_amax
+            params, mel, seed=0, weight_dtype=wd, chunk=chunk,
+            act_amax=act_amax, gate_static=act_amax is not None,
         )
     )
 

@@ -298,11 +298,12 @@ def main(steps, out_dir, corpus="tones", head="ce", n_utts=24):
             for mode, wd, am in (
                 ("pallas-bf16", jnp.bfloat16, None),
                 ("pallas-int8", jnp.int8, None),
-                ("pallas-int8s", jnp.int8, amax),  # static act scales
+                ("pallas-int8s", jnp.int8, amax),  # static act+gate scales
             ):
                 audio_p = np.asarray(
                     fg.generate_pallas(
-                        params, mel_rep, seed=0, weight_dtype=wd, act_amax=am
+                        params, mel_rep, seed=0, weight_dtype=wd, act_amax=am,
+                        gate_static=am is not None,
                     )
                 )[: len(wavs)]
                 pmc, pmmc = mel_track_corr(
@@ -360,11 +361,12 @@ def main(steps, out_dir, corpus="tones", head="ce", n_utts=24):
         for mode, wd, am in (
             ("pallas-bf16", jnp.bfloat16, None),
             ("pallas-int8", jnp.int8, None),
-            ("pallas-int8s", jnp.int8, amax),  # static act scales
+            ("pallas-int8s", jnp.int8, amax),  # static act+gate scales
         ):
             audio_p = np.asarray(
                 fg.generate_pallas(
-                    params, mel_rep, seed=0, weight_dtype=wd, act_amax=am
+                    params, mel_rep, seed=0, weight_dtype=wd, act_amax=am,
+                    gate_static=am is not None,
                 )
             )[: len(pitches)]
             flats, corrs = [], []
