@@ -5,9 +5,9 @@ The A/B experiments (ab_int8_combine.py) bound the kernel's remaining gap
 to its HBM/MXU floor but cannot say WHERE the time goes — scheduling
 hypotheses (VPU passes, DMA waits) have each moved only a few percent.
 This tool gets the ground truth: run the compiled kernel under
-jax.profiler, convert the xplane capture to trace-viewer JSON with the
-installed tensorboard profile plugin, and aggregate TensorCore event
-durations by op name.
+jax.profiler with create_perfetto_trace=True (the tensorboard profile
+plugin's xplane converter is incompatible with this env's TF/protobuf)
+and aggregate device event durations by op name from the perfetto JSON.
 
 Usage: python benchmarks/profile_kernel.py [B] [variant]
   variant: bf16 | int8 | int8_static (default int8_static)
@@ -36,19 +36,21 @@ enable_persistent_cache()
 
 
 def trace_events(log_dir):
-    """xplane.pb capture -> list of {name, dur, tid} trace events."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
-    assert paths, f"no xplane capture under {log_dir}"
-    data, _ = raw_to_tool_data.xspace_to_tool_data(paths, "trace_viewer", {})
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-    obj = json.loads(data)
-    return obj["traceEvents"]
+    """perfetto trace capture -> (events, thread-name map)."""
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "**", "perfetto_trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    assert paths, f"no perfetto capture under {log_dir}"
+    with gzip.open(paths[-1], "rt") as f:
+        obj = json.load(f)
+    events = obj["traceEvents"] if isinstance(obj, dict) else obj
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e.get("pid"), e.get("tid"))] = e["args"]["name"]
+    return events, tids
 
 
 def main():
@@ -93,25 +95,27 @@ def main():
 
     log_dir = os.environ.get("PROFILE_DIR", "/tmp/kernel_profile")
     os.makedirs(log_dir, exist_ok=True)
-    with jax.profiler.trace(log_dir):
+    with jax.profiler.trace(log_dir, create_perfetto_trace=True):
         np.asarray(gen(params, mel, 2))
 
-    events = trace_events(log_dir)
-    # aggregate complete events by name; the Pallas kernel shows up as one
-    # (or a few) fusion ops on the TensorCore line — sub-op breakdown only
-    # exists if the backend emits it, so print whatever granularity we get
+    events, tids = trace_events(log_dir)
+    # aggregate complete events by (device line, name); the Pallas kernel
+    # shows up as one fusion op per grid step on the TensorCore line —
+    # sub-op breakdown only exists if the backend emits it, so print
+    # whatever granularity we get
     agg = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        key = e.get("name", "?")[:100]
+        line = tids.get((e.get("pid"), e.get("tid")), "?")
+        key = (line[:40], e.get("name", "?")[:80])
         a = agg.setdefault(key, [0, 0.0])
         a[0] += 1
         a[1] += e["dur"]  # microseconds
     total = sum(v[1] for v in agg.values())
     print(f"\n{len(events)} events, {total / 1e3:.1f} ms total; top by time:")
-    for name, (n, dur) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:30]:
-        print(f"  {dur / 1e3:9.2f} ms  x{n:<6d} {name}")
+    for (line, name), (n, dur) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:30]:
+        print(f"  {dur / 1e3:9.2f} ms  x{n:<6d} [{line}] {name}")
 
 
 if __name__ == "__main__":
