@@ -157,47 +157,50 @@ def check_prng():
 
 
 def check_golden_freerun():
-    """Free-run BOTH Pallas paths from the committed golden checkpoint
-    (tests/golden/tiny_ce) and gate on conditioning-tracking mel
-    correlation — catches sampler-class bugs (e.g. the round-1 signed-shift
-    PRNG incident) in seconds; a tonal random-weight parity check cannot
-    see them.  Skipped when the artifact is absent."""
-    from tools.make_golden_ckpt import GOLDEN_DIR, eval_mels, load_golden
+    """Free-run BOTH Pallas paths from every committed golden checkpoint
+    (tests/golden/tiny_{ce,mol,gauss}) and gate on conditioning-tracking
+    mel correlation — catches sampler-class bugs (e.g. the round-1
+    signed-shift PRNG incident) in seconds for each head's in-kernel
+    sampler; a tonal random-weight parity check cannot see them.  Skipped
+    when no artifact is present."""
+    from tools.make_golden_ckpt import available_heads, eval_mels, load_golden
     from tools.quality_smoke import mel_track_corr
 
-    if not os.path.exists(os.path.join(GOLDEN_DIR, "meta.json")):
-        print("golden_freerun: SKIP (no committed golden checkpoint)")
+    heads = available_heads()
+    if not heads:
+        print("golden_freerun: SKIP (no committed golden checkpoints)")
         return True
-    model, params, meta = load_golden()
-    mels, wavs = eval_mels(n=8)  # pallas path needs batch % 8 == 0
-    fg = Fastgen(model)
-    amax = jax.jit(fg.calibrate_act_amax)(
-        params, jnp.asarray(wavs), jnp.asarray(mels)
-    )
     ok = True
-    for name, wd, am in (
-        ("bfloat16", jnp.bfloat16, None),
-        ("int8", jnp.int8, None),
-        ("int8_static", jnp.int8, amax),
-    ):
-        audio = np.asarray(
-            jax.jit(
-                lambda p, m, wd=wd, am=am: fg.generate_pallas(
-                    p, m, seed=7, weight_dtype=wd, act_amax=am,
-                    gate_static=am is not None,
-                )
-            )(params, jnp.asarray(mels))
+    for head in heads:
+        model, params, meta = load_golden(head)
+        mels, wavs = eval_mels(n=8)  # pallas path needs batch % 8 == 0
+        fg = Fastgen(model)
+        amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(wavs), jnp.asarray(mels)
         )
-        m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
-        good = (
-            m_corr > mm_corr + 0.05 and m_corr > meta["matched_corr"] - 0.15
-        )
-        print(
-            f"golden_freerun[{name}]: matched {m_corr:.3f} "
-            f"(committed {meta['matched_corr']:.3f}) vs mismatched {mm_corr:.3f} "
-            f"-> {'ok' if good else 'FAIL'}"
-        )
-        ok &= good
+        for name, wd, am in (
+            ("bfloat16", jnp.bfloat16, None),
+            ("int8", jnp.int8, None),
+            ("int8_static", jnp.int8, amax),
+        ):
+            audio = np.asarray(
+                jax.jit(
+                    lambda p, m, wd=wd, am=am: fg.generate_pallas(
+                        p, m, seed=7, weight_dtype=wd, act_amax=am,
+                        gate_static=am is not None,
+                    )
+                )(params, jnp.asarray(mels))
+            )
+            m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
+            good = (
+                m_corr > mm_corr + 0.05 and m_corr > meta["matched_corr"] - 0.15
+            )
+            print(
+                f"golden_freerun[{head}/{name}]: matched {m_corr:.3f} "
+                f"(committed {meta['matched_corr']:.3f}) vs mismatched {mm_corr:.3f} "
+                f"-> {'ok' if good else 'FAIL'}"
+            )
+            ok &= good
     return ok
 
 

@@ -250,6 +250,7 @@ def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
     extractor is the only one wired into training here.
     """
     is_pwn = hasattr(cfg, "num_iaf_layers")
+    extras = []  # framework-only tags, appended after the reference segment
     model_str = "pwn" if is_pwn else "wn"
     if exp_tag:
         model_str = f"{model_str}_{exp_tag}"
@@ -279,9 +280,9 @@ def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
         else:
             parts.append("SEP_DC")
         if cfg.power_loss_factor:
-            parts.append(f"pl{cfg.power_loss_factor:g}")
+            extras.append(f"pl{cfg.power_loss_factor:g}")
         if cfg.contrastive_loss_factor:
-            parts.append(f"cl{cfg.contrastive_loss_factor:g}")
+            extras.append(f"cl{cfg.contrastive_loss_factor:g}")
     else:
         if not cfg.dropout_inputs and not cfg.dropout_all:
             parts.append("n_DO")
@@ -290,9 +291,10 @@ def config_slug(cfg, model_tag: str, exp_tag: str = "") -> str:
         else:
             parts.append("DA")
     if cfg.grad_clip:
-        parts.append("GC")
+        extras.append("GC")
     if cfg.loss_type:
         parts.append(cfg.loss_type.upper())
+    parts += extras
     branch = _git_branch()
     if branch:
         parts.append(branch.replace("/", "_"))

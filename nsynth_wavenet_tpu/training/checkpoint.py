@@ -58,7 +58,11 @@ def _abstractify(x):
     if isinstance(x, jax.Array):
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
     if isinstance(x, np.ndarray):
-        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        # an explicit target sharding lets Orbax re-shard instead of replaying
+        # the topology recorded at save time (saves are now native sharded
+        # jax.Arrays, whose device ids won't exist in a host-template restore)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
     return x
 
 

@@ -366,10 +366,14 @@ def train_wavenet(
                         step, m["loss"], m["learning_rate"], m.get("cond_gap", 0.0), sps,
                     )
                 if step % ckpt_every_steps == 0 or step == target:
-                    mgr.save(step, jax.device_get(state))
+                    # save the sharded jax.Arrays directly: Orbax gathers each
+                    # shard from the process that owns it, so this works even
+                    # when --n_model/--n_seq axes span processes (where a
+                    # jax.device_get would raise on non-addressable shards)
+                    mgr.save(step, state)
             if stopped and step % ckpt_every_steps != 0 and step != target:
                 log.info("shutdown signal: saving checkpoint at step %d", step)
-                mgr.save(step, jax.device_get(state))
+                mgr.save(step, state)
     finally:
         profiler.close()
         it.close()
@@ -550,10 +554,10 @@ def train_parallel_wavenet(
                         m.get("power_loss", float("nan")), sps,
                     )
                 if step % ckpt_every_steps == 0 or step == target:
-                    mgr.save(step, jax.device_get(state))
+                    mgr.save(step, state)
             if stopped and step % ckpt_every_steps != 0 and step != target:
                 log.info("shutdown signal: saving checkpoint at step %d", step)
-                mgr.save(step, jax.device_get(state))
+                mgr.save(step, state)
     finally:
         profiler.close()
         it.close()

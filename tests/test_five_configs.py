@@ -111,11 +111,11 @@ def test_config_slug_full_reference_encoding():
         "wavenet_gauss.json": "ns_wn-n_MU-n_WN-TS-leaky_relu-n_DO-GAUSS",
         "parallel_wavenet.json": (
             "ns_pwn-n_MU-n_WN-TS-leaky_relu-n_LOGS-n_CLIP-ABS-n_MEL-L2-PFS"
-            "-SHA_DC-pl1-cl0.3-LOGISTIC"
+            "-SHA_DC-LOGISTIC-pl1-cl0.3"
         ),
         "parallel_wavenet_gauss.json": (
             "ns_pwn-n_MU-n_WN-TS-leaky_relu-n_LOGS-n_CLIP-ABS-n_MEL-L2-PFS"
-            "-SEP_DC-pl1-GAUSS"
+            "-SEP_DC-GAUSS-pl1"
         ),
     }
     base = os.path.join(os.path.dirname(__file__), "..", "configs")

@@ -1,18 +1,22 @@
-"""Fast golden regression gate (round-2, VERDICT "Next #6").
+"""Fast golden regression gate (round-2 VERDICT "Next #6", round-3 #3:
+one committed checkpoint per output head).
 
-A committed trained checkpoint (tests/golden/tiny_ce, written by
-tools/make_golden_ckpt.py — CE teacher, width 128, trained on the
-pseudo-speech corpus) turns sampler/feature regressions into second-scale
-pytest failures instead of a 30k-step quality smoke:
+Committed trained checkpoints (tests/golden/tiny_{ce,mol,gauss}, written by
+tools/make_golden_ckpt.py — width-128 teachers trained on the pseudo-speech
+corpus) turn sampler/feature regressions into second-scale pytest failures
+instead of a 30k-step quality smoke:
 
   * XLA free-run from held-out conditioning must track its mel (matched
-    correlation near the committed value and above mismatched);
+    correlation near the committed value and above mismatched) — this
+    exercises each head's SAMPLER (CE categorical, MoL gumbel-select +
+    logistic, Gauss), the class of bug random-weight parity misses;
   * the Pallas kernel (interpret mode) must match the XLA path
     teacher-forced ON TRAINED WEIGHTS — random-weight parity can miss
     errors that only matter once the distribution is peaked.
 
 The TPU twin of this gate (free-running both REAL Pallas paths) lives in
-benchmarks/tpu_kernel_parity.py::check_golden_freerun.
+benchmarks/tpu_kernel_parity.py::check_golden_freerun.  Reference analog:
+the per-config committed generations tests/pred_data-* (Readme.md:93-107).
 """
 
 import os
@@ -23,25 +27,29 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tools.make_golden_ckpt import GOLDEN_DIR, eval_mels, load_golden
+from tools.make_golden_ckpt import available_heads, eval_mels, load_golden
+
+HEADS = available_heads()
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(GOLDEN_DIR, "meta.json")),
-    reason="golden checkpoint not generated yet (tools/make_golden_ckpt.py)",
+    not HEADS, reason="no golden checkpoints generated yet (tools/make_golden_ckpt.py)"
 )
 
-
-@pytest.fixture(scope="module")
-def golden():
-    model, params, meta = load_golden()
-    return model, params, meta
+_cache = {}
 
 
-def test_golden_freerun_tracks_conditioning(golden):
+def golden(head):
+    if head not in _cache:
+        _cache[head] = load_golden(head)
+    return _cache[head]
+
+
+@pytest.mark.parametrize("head", HEADS)
+def test_golden_freerun_tracks_conditioning(head):
     from nsynth_wavenet_tpu.models.fastgen import Fastgen
     from tools.quality_smoke import mel_track_corr
 
-    model, params, meta = golden
+    model, params, meta = golden(head)
     n_gen = 8000  # 0.5 s x 2 utts keeps the CPU scan under a minute
     mels, _ = eval_mels(n=2)
     mels = mels[:, : 1 + n_gen // 200]
@@ -57,7 +65,8 @@ def test_golden_freerun_tracks_conditioning(golden):
     assert m_corr > meta["matched_corr"] - 0.2, (m_corr, meta["matched_corr"])
 
 
-def test_golden_pallas_teacher_forced_parity(golden):
+@pytest.mark.parametrize("head", HEADS)
+def test_golden_pallas_teacher_forced_parity(head):
     """Trained-weight parity: kernel out_params vs the XLA scan path,
     teacher-forced over a short segment (interpret mode).  Random-weight
     parity (tests/test_fastgen_kernel.py) can miss errors that only matter
@@ -66,7 +75,7 @@ def test_golden_pallas_teacher_forced_parity(golden):
     from nsynth_wavenet_tpu.ops import fastgen_kernel as fk
     from nsynth_wavenet_tpu.ops import stft
 
-    model, params, meta = golden
+    model, params, meta = golden(head)
     cfg = model.cfg
     L, B, crop = 64, 2, 1280
     _, wav_full = eval_mels(n=B)

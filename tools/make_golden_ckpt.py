@@ -1,19 +1,26 @@
-"""Train + commit the golden regression checkpoint (round-2, VERDICT #6).
+"""Train + commit golden regression checkpoints (round-2 VERDICT #6,
+round-3 VERDICT #3: one per output head).
 
-Trains the quality-smoke CE teacher (width 128 — Pallas-kernel compatible)
-on the formant-synthesized pseudo-speech corpus, free-runs it, and writes
+Trains a quality-smoke teacher (width 128 — Pallas-kernel compatible) for
+the requested head on the formant-synthesized pseudo-speech corpus,
+free-runs it, and writes
 
-    tests/golden/tiny_ce/params.npz   (EMA weights, int8 per-channel + f32
-                                       scales/biases, ~3 MB compressed)
-    tests/golden/tiny_ce/meta.json    (config + measured free-run tracking)
+    tests/golden/tiny_{head}/params.npz   (EMA weights, int8 per-channel +
+                                           f32 scales/biases, ~3 MB each)
+    tests/golden/tiny_{head}/meta.json    (config + measured free-run corr)
 
 so tests/test_golden_regression.py can catch sampler-class bugs (e.g. the
 round-1 signed-shift PRNG incident, benchmarks/RESULTS.md "Sampler
-correctness") in seconds instead of a 30k-step smoke.  The free-run metrics
-are measured from the ROUND-TRIPPED (int8-dequantized) weights so the gate
-compares like for like.
+correctness") in seconds instead of a 30k-step smoke.  Each head has its
+OWN in-kernel sampler with its own failure modes (CE gumbel-argmax, MoL
+gumbel-select+logistic, Gauss Box-Muller — ops/fastgen_kernel.py), matching
+the reference's per-config committed generations (tests/pred_data-*,
+Readme.md:93-107).  The free-run metrics are measured from the
+ROUND-TRIPPED (int8-dequantized) weights so the gate compares like for
+like.
 
-Usage (TPU, ~10 min):  python tools/make_golden_ckpt.py [--steps 30000]
+Usage (TPU, ~10 min per head):
+    python tools/make_golden_ckpt.py [--head ce|mol|gauss] [--steps 30000]
 """
 
 import argparse
@@ -25,21 +32,42 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "tests", "golden", "tiny_ce")
-# held-out utterance seeds (the training corpus uses seed=0's stream);
-# the first 4 produced the committed meta.json metrics, the rest exist so
-# Pallas-path checks can run at batch 8 (kernel needs B % 8 == 0)
-EVAL_SEEDS = (101, 202, 303, 404, 505, 606, 707, 808)
+_GOLDEN_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
+GOLDEN_DIR = os.path.join(_GOLDEN_ROOT, "tiny_ce")
+HEADS = ("ce", "mol", "gauss")
+# held-out utterance seeds: METRIC_SEEDS produced the committed meta.json
+# metrics; PAD_SEEDS exist only so Pallas-path checks can run at batch 8
+# (kernel needs B % 8 == 0)
+METRIC_SEEDS = (101, 202, 303, 404)
+PAD_SEEDS = (505, 606, 707, 808)
+EVAL_SEEDS = METRIC_SEEDS + PAD_SEEDS
 GEN_SAMPLES = 12000  # 0.75 s
 
 
-def golden_config():
+def golden_dir(head: str) -> str:
+    assert head in HEADS, head
+    return os.path.join(_GOLDEN_ROOT, f"tiny_{head}")
+
+
+def available_heads():
+    return [h for h in HEADS
+            if os.path.exists(os.path.join(golden_dir(h), "meta.json"))]
+
+
+def head_teacher_cfg(head: str) -> dict:
+    from tools import quality_smoke as qs
+
+    return {"ce": qs.TEACHER_CFG, "mol": qs.MOL_TEACHER_CFG,
+            "gauss": qs.GAUSS_TEACHER_CFG}[head]
+
+
+def golden_config(head: str = "ce"):
     from nsynth_wavenet_tpu import config as config_lib
-    from tools.quality_smoke import TEACHER_CFG
 
     return config_lib.wavenet_config_from_dict(
-        dict(TEACHER_CFG, compute_dtype="float32")
+        dict(head_teacher_cfg(head), compute_dtype="float32")
     )
 
 
@@ -86,7 +114,7 @@ def dequantize_flat(stored):
     return out
 
 
-def eval_mels(n=4, n_frames_len=GEN_SAMPLES):
+def eval_mels(n=4):
     """Deterministic held-out conditioning mels (+ source audio)."""
     from nsynth_wavenet_tpu.data.synthetic import make_speechlike_utterance
     from nsynth_wavenet_tpu.ops import stft
@@ -100,11 +128,14 @@ def eval_mels(n=4, n_frames_len=GEN_SAMPLES):
 
 
 def load_golden(directory=GOLDEN_DIR):
-    """Returns (model, params, meta) from the committed artifact."""
+    """Returns (model, params, meta) from the committed artifact.
+    ``directory`` may be a path or a head name."""
     from nsynth_wavenet_tpu.models.wavenet import Wavenet
 
     import jax
 
+    if directory in HEADS:
+        directory = golden_dir(directory)
     meta = json.load(open(os.path.join(directory, "meta.json")))
     from nsynth_wavenet_tpu import config as config_lib
 
@@ -118,6 +149,7 @@ def load_golden(directory=GOLDEN_DIR):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--head", default="ce", choices=list(HEADS))
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workdir", default="/tmp/golden_ckpt")
@@ -128,16 +160,17 @@ def main():
     from nsynth_wavenet_tpu.models.fastgen import Fastgen
     from nsynth_wavenet_tpu.models.wavenet import Wavenet
     from nsynth_wavenet_tpu.training import runner
-    from tools.quality_smoke import TEACHER_CFG, make_speech_corpus, mel_track_corr
+    from tools.quality_smoke import make_speech_corpus, mel_track_corr
 
     os.makedirs(args.workdir, exist_ok=True)
     ds_dir = os.path.join(args.workdir, "ds")
     if not os.path.exists(os.path.join(ds_dir, "index.json")):
         make_speech_corpus(ds_dir)
 
-    cfg_path = os.path.join(args.workdir, "golden_ce.json")
+    teacher_cfg = head_teacher_cfg(args.head)
+    cfg_path = os.path.join(args.workdir, f"golden_{args.head}.json")
     with open(cfg_path, "wt") as f:
-        json.dump(dict(TEACHER_CFG, compute_dtype="float32", num_iters=args.steps), f)
+        json.dump(dict(teacher_cfg, compute_dtype="float32", num_iters=args.steps), f)
 
     run_dir, state = runner.train_wavenet(
         train_path=ds_dir, config_path=cfg_path,
@@ -148,34 +181,38 @@ def main():
     # round-trip through the committed int8 storage BEFORE measuring
     flat = flatten_params(jax.device_get(state["ema"]))
     stored = quantize_flat(flat)
-    model = Wavenet(golden_config())
+    model = Wavenet(golden_config(args.head))
     params = unflatten_params(model.init_params(jax.random.PRNGKey(0)),
                               dequantize_flat(stored))
 
-    mels, _ = eval_mels()
+    mels, _ = eval_mels(n=len(METRIC_SEEDS))
     fg = Fastgen(model)
     audio = np.asarray(
         jax.jit(lambda p, m: fg.generate(p, m, jax.random.PRNGKey(7)))(params, mels)
     )
     m_corr, mm_corr = mel_track_corr(audio, mels, GEN_SAMPLES)
-    print(f"golden free-run tracking: matched {m_corr:.3f} vs mismatched {mm_corr:.3f}")
+    print(f"golden {args.head} free-run tracking: "
+          f"matched {m_corr:.3f} vs mismatched {mm_corr:.3f}")
     assert m_corr > mm_corr + 0.1, "golden model does not track conditioning"
 
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    np.savez_compressed(os.path.join(GOLDEN_DIR, "params.npz"), **stored)
+    out_dir = golden_dir(args.head)
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(out_dir, "params.npz"), **stored)
     meta = {
-        "config": dict(TEACHER_CFG, compute_dtype="float32"),
+        "config": dict(teacher_cfg, compute_dtype="float32"),
+        "head": args.head,
         "train_steps": args.steps,
         "corpus": "data/synthetic.py make_speechlike_corpus(seed=0)",
-        "eval_seeds": list(EVAL_SEEDS),
+        "eval_seeds": list(METRIC_SEEDS),
+        "batch_pad_seeds": list(PAD_SEEDS),
         "gen_samples": GEN_SAMPLES,
         "matched_corr": round(m_corr, 4),
         "mismatched_corr": round(mm_corr, 4),
     }
-    with open(os.path.join(GOLDEN_DIR, "meta.json"), "wt") as f:
+    with open(os.path.join(out_dir, "meta.json"), "wt") as f:
         json.dump(meta, f, indent=2)
-    size = os.path.getsize(os.path.join(GOLDEN_DIR, "params.npz")) / 1e6
-    print(f"wrote {GOLDEN_DIR} ({size:.1f} MB), run dir {run_dir}")
+    size = os.path.getsize(os.path.join(out_dir, "params.npz")) / 1e6
+    print(f"wrote {out_dir} ({size:.1f} MB), run dir {run_dir}")
 
 
 if __name__ == "__main__":
