@@ -99,6 +99,16 @@ def test_golden_pallas_teacher_forced_parity(head):
     )
     enc_t = jnp.transpose(enc, (1, 0, 2))[off : off + L]
     _, outp = gen(kw, enc_t, 123, tf=jnp.transpose(jnp.asarray(wav[:, :L])))
-    got = np.asarray(outp)[:, :, : cfg.out_width]
+    outp = np.asarray(outp)
+    if cfg.loss_type == "mol":
+        # kernel MoL head layout: [logits|pad][means|pad][scales|pad], each
+        # segment 128-lane aligned (fastgen_kernel.build_kernel_weights)
+        seg = outp.shape[-1] // 3
+        nr = cfg.mol_mix
+        got = np.concatenate(
+            [outp[..., s * seg : s * seg + nr] for s in range(3)], axis=-1
+        )
+    else:
+        got = outp[:, :, : cfg.out_width]
     scale = max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=0)
