@@ -1,0 +1,57 @@
+"""Regenerate the committed warm compile-cache for bench.py.
+
+Runs bench.py in a subprocess against a FRESH persistent-cache dir, then
+copies every entry it produced into ``benchmarks/warm_cache/`` (committed).
+``compile_cache.enable_persistent_cache`` hydrates the live cache from that
+dir, so the driver's end-of-round bench run loads the shipped + anchor
+kernels from disk instead of paying the remote cold compile (~27 min on a
+bad backend day — BENCH_r02).
+
+Run this (TPU) after ANY change to the shipped serving mode, bench batch,
+or kernel code, then commit benchmarks/warm_cache/:
+
+    python tools/warm_bench_cache.py
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WARM = os.path.join(REPO, "benchmarks", "warm_cache")
+
+
+def main():
+    fresh = tempfile.mkdtemp(prefix="bench_cache_")
+    env = dict(os.environ, BENCH_CACHE_DIR=fresh)
+    print(f"running bench.py with fresh cache dir {fresh} ...", flush=True)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")], env=env, cwd=REPO
+    )
+    if proc.returncode != 0:
+        print("bench.py failed; warm cache NOT updated", file=sys.stderr)
+        return 1
+
+    entries = [f for f in os.listdir(fresh) if os.path.isfile(os.path.join(fresh, f))]
+    if not entries:
+        print("bench.py produced no cache entries (all compiles < 1 s?); "
+              "warm cache NOT updated", file=sys.stderr)
+        return 1
+    if os.path.isdir(WARM):
+        shutil.rmtree(WARM)
+    os.makedirs(WARM)
+    total = 0
+    for f in entries:
+        src = os.path.join(fresh, f)
+        shutil.copyfile(src, os.path.join(WARM, f))
+        total += os.path.getsize(src)
+    print(f"committed-warm-cache refreshed: {len(entries)} entries, "
+          f"{total / 1e6:.1f} MB -> {WARM}")
+    print("verify with a fresh process: rm -rf .jax_cache && python bench.py")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
