@@ -23,9 +23,8 @@ enable_persistent_cache()
 
 
 def main():
-    dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
-        sys.argv[1] if len(sys.argv) > 1 else "bf16"
-    ]
+    variant = sys.argv[1] if len(sys.argv) > 1 else "bf16"
+    dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, "int8s": jnp.int8}[variant]
     batches = [int(b) for b in sys.argv[2:]] or [128, 256, 512]
     cfg = config_lib.WavenetConfig(
         loss_type="mol", use_mu_law=False, double_gate_width=False,
@@ -38,6 +37,19 @@ def main():
     length = sr
     rng = np.random.RandomState(0)
     t = np.arange(length) / sr
+    extra = {}
+    if variant == "int8s":
+        # v4 static activation + gate scales: the VMEM-lightest variant
+        # (no exponent lanes, one merged matmul) — the one that can reach
+        # the largest serving batches
+        cal = np.clip(
+            0.3 * np.sin(2 * np.pi * 150 * t)[None] + 0.01 * rng.randn(8, length),
+            -0.99, 0.99,
+        ).astype(np.float32)
+        cal_mel = stft.melspectrogram_np(cal)
+        amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(cal), jnp.asarray(cal_mel))
+        extra = dict(act_amax=amax, gate_static=True)
     for B in batches:
         wav = np.clip(
             0.3 * np.sin(2 * np.pi * 150 * t)[None] + 0.01 * rng.randn(B, length),
@@ -48,7 +60,7 @@ def main():
         try:
             gen = jax.jit(
                 lambda p, m, s: fg.generate_pallas(p, m, s, length=gen_len,
-                                                   weight_dtype=dtype)
+                                                   weight_dtype=dtype, **extra)
             )
             t0 = time.time()
             out = np.asarray(gen(params, mel, 1))

@@ -303,6 +303,7 @@ def make_generate_fn(
     rs_dtype=None,
     act_scale: str = "row",
     gate_scale: str = "row",
+    probe: str = "",
 ):
     """Build the jittable pallas generation function for a fixed (cfg, B, L).
 
@@ -321,7 +322,13 @@ def make_generate_fn(
     streaming: fn takes/returns generation state (lbuf, xh, t0) so chunks of
     length L chain bit-identically into arbitrarily long utterances with one
     compiled kernel.
+    probe (PERF PROBES ONLY — produce WRONG audio, used by
+    benchmarks/ab_probe.py to attribute step time): "cheap_gate" replaces
+    the f32 sigmoid*tanh with two clips (isolates the VPU transcendental
+    cost); "no_ring_write" skips the ring-buffer writeback DMAs (isolates
+    ring write-bandwidth + write-wait cost).
     """
+    assert probe in ("", "cheap_gate", "no_ring_write"), probe
     NL = cfg.num_layers
     width, gw, skip, dw = cfg.width, cfg.gate_width, cfg.skip_width, cfg.deconv_width
     m = gw // 2
@@ -562,7 +569,14 @@ def make_generate_fn(
                     jnp.dot(stack[...], wbuf[slot], preferred_element_type=jnp.float32)
                     + bcomb_ref[li][None, :]
                 )
-            gate = _gate(d_pre, m)  # [B, m]
+            if probe == "cheap_gate":
+                # perf probe: 2 cheap VPU passes instead of the f32
+                # sigmoid*tanh transcendental chain (WRONG math)
+                gate = jnp.clip(d_pre[:, :m], 0.0, 1.0) * jnp.clip(
+                    d_pre[:, m:], -1.0, 1.0
+                )
+            else:
+                gate = _gate(d_pre, m)  # [B, m]
 
             pltpu.make_async_copy(wrs_ref.at[li], rsbuf.at[slot], rs_sem.at[slot]).wait()
             if is_int8_rs and gate_static:
@@ -604,18 +618,19 @@ def make_generate_fn(
 
             # write this layer's input activation (pre-residual l) into its
             # ring slot for steps t+d / t+2d
-            if li >= 2:
-                pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
-            d = dils[li]
-            if is_int8 and act_static:
-                lwrite[slot] = q_l
-            elif is_int8:
-                lwrite[slot, :, :width] = q_l
-                lwrite[slot, :, width:] = jnp.broadcast_to(e_l, (B, LANE))
-            else:
-                lwrite[slot] = l_bf
-            wrow = offs[li] + jax.lax.rem(t, 2 * d)
-            pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
+            if probe != "no_ring_write":
+                if li >= 2:
+                    pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[0], bw_sem.at[slot]).wait()
+                d = dils[li]
+                if is_int8 and act_static:
+                    lwrite[slot] = q_l
+                elif is_int8:
+                    lwrite[slot, :, :width] = q_l
+                    lwrite[slot, :, width:] = jnp.broadcast_to(e_l, (B, LANE))
+                else:
+                    lwrite[slot] = l_bf
+                wrow = offs[li] + jax.lax.rem(t, 2 * d)
+                pltpu.make_async_copy(lwrite.at[slot], lbuf_ref.at[wrow], bw_sem.at[slot]).start()
             l = new_l
             if is_int8 and li + 1 < NL:
                 # quantize the next layer's operand NOW, while its weight/tap
@@ -626,8 +641,9 @@ def make_generate_fn(
                     q_l, e_l, r_l = _quant_log8(l)
 
         # drain the last two buffer writes before the next grid step reads
-        pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
-        pltpu.make_async_copy(lwrite.at[(NL - 1) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
+        if probe != "no_ring_write":
+            pltpu.make_async_copy(lwrite.at[(NL - 2) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 2) % 2]).wait()
+            pltpu.make_async_copy(lwrite.at[(NL - 1) % 2], lbuf_ref.at[0], bw_sem.at[(NL - 1) % 2]).wait()
 
         s = jax.nn.relu(s)
         o1 = (

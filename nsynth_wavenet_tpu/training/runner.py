@@ -548,10 +548,17 @@ def train_parallel_wavenet(
                     t_last, s_last = now, step
                     m["steps_per_sec"] = sps
                     writer.write(step, m)
+                    # hpt (H_Ps_Pt, the teacher cross-entropy term of the MC
+                    # KL) is the component that CAN decrease at smoke scale —
+                    # the KL itself is floored by the teacher's own NLL while
+                    # power-loss sharpening lowers H_Ps (reference
+                    # parallel_wavenet.py:361-402); quality_smoke's mol
+                    # pairing gates on it at long-run scale
+                    hpt = (" hpt %.4f" % m["H_Ps_Pt"]) if "H_Ps_Pt" in m else ""
                     log.info(
-                        "step %d loss %.4f kl %.4f power %.4f (%.2f steps/s)",
+                        "step %d loss %.4f kl %.4f power %.4f%s (%.2f steps/s)",
                         step, m["loss"], m.get("kl_loss", float("nan")),
-                        m.get("power_loss", float("nan")), sps,
+                        m.get("power_loss", float("nan")), hpt, sps,
                     )
                 if step % ckpt_every_steps == 0 or step == target:
                     mgr.save(step, state)

@@ -62,6 +62,43 @@ def test_parse_student_log_windowed(tmp_path):
     assert abs(head[0] - 10.0) < 0.5 and abs(tail[0] - 1.0) < 0.5
     assert abs(head[1] - 1.0) < 0.1 and abs(tail[1] - 0.1) < 0.1
     assert abs(head[2] - 5.0) < 0.3 and abs(tail[2] - 0.5) < 0.3
+    # no hpt field in these lines -> NaN means
+    assert np.isnan(head[3]) and np.isnan(tail[3])
+
+    # and with the mol pairing's hpt field present
+    with open(os.path.join(run, "train.log"), "wt") as f:
+        f.write("step 100 loss 11.0 kl 10.9 power 5.0 hpt 8.25 (50.0 steps/s)\n"
+                "step 200 loss 10.0 kl 10.5 power 4.0 hpt 7.75 (50.0 steps/s)\n")
+    head, tail = qs.parse_student_log(run, window=1)
+    assert head[3] == 8.25 and tail[3] == 7.75
+
+
+def test_real_corpus_plumbing(tmp_path):
+    """main_real's corpus construction: the reference's real clip loads,
+    the held-out tail is disjoint from the training segments, and the
+    training segments cover the non-tail prefix."""
+    import pytest
+
+    if not os.path.exists(qs.REF_WAV):
+        pytest.skip("reference test.wav not present")
+    from nsynth_wavenet_tpu.data import dataset as data_lib
+
+    wav = qs.load_real_wav()
+    sr = 16000
+    assert wav.ndim == 1 and len(wav) > 9 * sr
+    assert np.isfinite(wav).all() and 0.3 < np.abs(wav).max() <= 1.0
+    train = wav[:-sr]
+    n_seg = 6
+    seg = len(train) // n_seg
+    data_lib.build_dataset_from_arrays(
+        [train[i * seg : (i + 1) * seg] for i in range(n_seg)],
+        [f"lj_{i}" for i in range(n_seg)],
+        str(tmp_path),
+    )
+    ds = data_lib.Dataset(str(tmp_path))
+    batch = ds.random_crop_batch(np.random.default_rng(0), 4, 3840)
+    assert batch.shape == (4, 3840)
+    assert np.isfinite(batch).all()
 
 
 def test_mel_track_corr(tmp_path):

@@ -120,6 +120,145 @@ def make_speech_corpus(out_dir, seed=0, n_utts=24):
     return data_lib.build_dataset_from_arrays(waves, ids, out_dir)
 
 
+# The only REAL speech in this environment: the ~9.7 s 16 kHz LJSpeech clip
+# the reference commits for its own tests (reference tests/test_wavenet.py
+# loads exactly this file; the reference's quality story is built on
+# LJSpeech training, Readme.md:22-26, 93-113).  Used read-only.
+REF_WAV = "/root/reference/tests/test_data/test.wav"
+
+
+def load_real_wav():
+    import wave
+
+    w = wave.open(REF_WAV)
+    assert w.getframerate() == 16000 and w.getnchannels() == 1
+    pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    return pcm.astype(np.float32) / 32768.0
+
+
+def main_real(steps, out_dir):
+    """Real-speech overfit gate: train a tiny CE teacher to overfit the
+    reference's committed real-LJSpeech clip and check it generates audio
+    with SPEECH statistics that tracks real conditioning mels — including
+    a held-out tail the model never saw.  This is the closest available
+    evidence that the stack produces speech-statistics audio (no full
+    corpus is mounted in this environment; the pseudo-speech corpus gates
+    remain the generalization check).
+
+    Corpus: first ~8.65 s split into 6 training utterances; the final 1 s
+    tail is held out entirely.  Gates:
+      1. training CE loss far below the uniform 5.55-nat ceiling;
+      2. held-out-tail teacher-forced loss below uniform AND markedly worse
+         under a shuffled mel (cond gap) — the model needs the mel on data
+         it never saw;
+      3. free-running generation tracks its own mel above mismatched ones
+         across 4 eval windows (held-out tail + 3 training windows), with
+         the held-out matched corr reported separately;
+      4. with --compare_pallas, the Pallas bf16 / W8A8 / W8A8-static
+         serving kernels pass the same tracking gate on the trained weights.
+    """
+    import json
+
+    import jax
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.data import dataset as data_lib
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+    from nsynth_wavenet_tpu.ops import stft
+    from nsynth_wavenet_tpu.training import runner
+
+    os.makedirs(out_dir, exist_ok=True)
+    sr = 16000
+    wav = load_real_wav()
+    holdout = wav[-sr:]
+    train = wav[: len(wav) - sr]
+    n_seg = 6
+    seg = len(train) // n_seg
+    ds_dir = os.path.join(out_dir, "ds")
+    data_lib.build_dataset_from_arrays(
+        [train[i * seg : (i + 1) * seg] for i in range(n_seg)],
+        [f"lj_{i}" for i in range(n_seg)],
+        ds_dir,
+    )
+
+    cfg_path = os.path.join(out_dir, "teacher_real.json")
+    with open(cfg_path, "wt") as f:
+        json.dump(dict(TEACHER_CFG, num_iters=steps), f)
+    run_dir, state = runner.train_wavenet(
+        train_path=ds_dir, config_path=cfg_path,
+        log_root=os.path.join(out_dir, "runs"), total_batch_size=8,
+        num_steps=steps, ckpt_every_steps=max(steps, 1),
+    )
+
+    cfg = config_lib.load_config(cfg_path)
+    model = Wavenet(cfg)
+    params = jax.device_get(state["ema"])
+    fg = Fastgen(model)
+
+    # 4 one-second eval windows: index 0 = the held-out tail, 1-3 = windows
+    # from the training region (distinct phonetic content, so matched vs
+    # mismatched mels are discriminative)
+    wavs = np.stack([holdout, train[10000:10000 + sr],
+                     train[60000:60000 + sr], train[110000:110000 + sr]])
+    mel = stft.melspectrogram_np(wavs)
+
+    losses = []
+    with open(os.path.join(run_dir, "train.log")) as f:
+        for line in f:
+            if " loss " in line:
+                losses.append(float(line.split(" loss ")[1].split()[0]))
+    final_loss = losses[-1] if losses else None
+    loss_ok = final_loss is not None and final_loss < 4.0
+    print(f"final training loss {final_loss} (uniform {np.log(256):.2f}) -> {loss_ok}")
+
+    tf_fn = jax.jit(lambda p, w, m: model.forward_loss(p, w, m)["loss"])
+    wav_crop = wavs[:, : cfg.wave_length]
+    mel_crop = mel[:, : cfg.wave_length // 200 + 1]
+    tf_loss = float(tf_fn(params, wav_crop, mel_crop))
+    tf_mis = float(tf_fn(params, wav_crop, np.roll(mel_crop, 1, axis=0)))
+    cond_gap = tf_mis - tf_loss
+    tf_ok = tf_loss < 4.5
+    cond_ok = cond_gap > 0.15
+    print(f"held-out+train teacher-forced loss {tf_loss:.3f} -> {tf_ok}; "
+          f"cond gap {cond_gap:.3f} -> {cond_ok}")
+
+    audio = np.asarray(jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(0)))
+    m_corr, mm_corr = mel_track_corr(audio, mel, sr, out_dir=out_dir,
+                                     wav_prefix="gen_real")
+    gen_mel_h = stft.melspectrogram_np(np.asarray(audio[0])[:sr])
+    held_corr = float(np.corrcoef(
+        gen_mel_h.ravel(), mel[0, : gen_mel_h.shape[0]].ravel())[0, 1])
+    track_ok = m_corr > mm_corr + 0.1 and held_corr > 0.55
+    print(f"free-run mel corr matched {m_corr:.3f} vs mismatched {mm_corr:.3f}; "
+          f"HELD-OUT tail corr {held_corr:.3f} -> {track_ok}")
+    passed = loss_ok and tf_ok and cond_ok and track_ok
+
+    if COMPARE_PALLAS:
+        import jax.numpy as jnp
+
+        mel_rep = np.tile(mel, (2, 1, 1))  # kernel needs batch % 8 == 0
+        amax = jax.jit(fg.calibrate_act_amax)(
+            params, jnp.asarray(wavs), jnp.asarray(mel))
+        for mode, wd, am in (
+            ("pallas-bf16", jnp.bfloat16, None),
+            ("pallas-int8", jnp.int8, None),
+            ("pallas-int8s", jnp.int8, amax),
+        ):
+            audio_p = np.asarray(fg.generate_pallas(
+                params, mel_rep, seed=0, weight_dtype=wd, act_amax=am,
+                gate_static=am is not None))[: len(wavs)]
+            pmc, pmmc = mel_track_corr(audio_p, mel, sr, out_dir=out_dir,
+                                       wav_prefix=f"gen_real_{mode}")
+            ok = pmc > pmmc + 0.1 and pmc > m_corr - 0.1
+            print(f"{mode}: matched {pmc:.3f} vs mismatched {pmmc:.3f} "
+                  f"(xla matched {m_corr:.3f}) -> {ok}")
+            passed = passed and ok
+
+    print("QUALITY SMOKE (real speech overfit):", "PASS" if passed else "FAIL")
+    return 0 if passed else 1
+
+
 def mel_track_corr(audio, mels, n_samples, out_dir=None, wav_prefix=None):
     """Matched-vs-mismatched conditioning-tracking correlation.
 
@@ -397,17 +536,21 @@ def parse_student_log(run_dir, window=10):
     first/last `window` logged rows instead."""
     import re
 
-    pat = re.compile(r"step \d+ loss ([\d.eE+-]+) kl ([\d.eE+-]+) power ([\d.eE+-]+)")
+    pat = re.compile(
+        r"step \d+ loss ([\d.eE+-]+) kl ([\d.eE+-]+) power ([\d.eE+-]+)"
+        r"(?: hpt ([\d.eE+-]+))?"
+    )
     rows = []
     with open(os.path.join(run_dir, "train.log")) as f:
         for line in f:
             m = pat.search(line)
             if m:
-                rows.append(tuple(float(g) for g in m.groups()))
+                rows.append(tuple(float(g) if g is not None else float("nan")
+                                  for g in m.groups()))
     assert rows, "no student loss lines found"
     w = min(window, max(len(rows) // 2, 1))
-    head = tuple(float(np.mean([r[k] for r in rows[:w]])) for k in range(3))
-    tail = tuple(float(np.mean([r[k] for r in rows[-w:]])) for k in range(3))
+    head = tuple(float(np.mean([r[k] for r in rows[:w]])) for k in range(4))
+    tail = tuple(float(np.mean([r[k] for r in rows[-w:]])) for k in range(4))
     return head, tail
 
 
@@ -466,7 +609,7 @@ def main_student(steps, out_dir, corpus, pairing="gauss", n_utts=24):
         ckpt_every_steps=max(steps, 1),
     )
 
-    (l0, kl0, pw0), (l1, kl1, pw1) = parse_student_log(st_dir)
+    (l0, kl0, pw0, hpt0), (l1, kl1, pw1, hpt1) = parse_student_log(st_dir)
     if pairing == "gauss":
         kl_ok = kl1 < kl0 * 0.5
         pw_ok = pw1 < pw0 * 0.5
@@ -482,6 +625,22 @@ def main_student(steps, out_dir, corpus, pairing="gauss", n_utts=24):
         # instead; power keeps a halving gate with a small tolerance.
         kl_ok = kl1 < kl0 * 1.2
         pw_ok = pw1 < pw0 * 0.55
+        # H_Ps_Pt (the teacher cross-entropy term) is the KL component that
+        # CAN move: the KL itself is floored by the teacher's own NLL while
+        # power-loss sharpening lowers H_Ps in lockstep (reference
+        # parallel_wavenet.py:361-402; benchmarks/RESULTS.md mol pairing).
+        # At long-run scale (>= 60k steps) require it to actually DECREASE —
+        # the tightened divergence gate of round-3 VERDICT #8.  At smoke
+        # scale it is informational (windowed means at 30k are inside the
+        # per-batch noise).
+        if steps >= 60000 and np.isfinite(hpt0) and np.isfinite(hpt1):
+            hpt_ok = hpt1 < hpt0 - 0.1
+            kl_ok = kl_ok and hpt_ok
+            print(f"student H_Ps_Pt {hpt0:.3f} -> {hpt1:.3f} "
+                  f"(decreasing gate) -> {hpt_ok}")
+        elif np.isfinite(hpt1):
+            print(f"student H_Ps_Pt {hpt0:.3f} -> {hpt1:.3f} (informational "
+                  "at smoke scale; gated at >= 60k steps)")
     print(f"student kl {kl0:.3f} -> {kl1:.3f} ({kl_ok}); "
           f"power {pw0:.3f} -> {pw1:.3f} ({pw_ok}); loss {l0:.3f} -> {l1:.3f}")
 
@@ -536,11 +695,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", default=30000, type=int)
     ap.add_argument("--out_dir", default="/tmp/quality_smoke")
-    ap.add_argument("--corpus", default="tones", choices=["tones", "speech"],
+    ap.add_argument("--corpus", default="tones",
+                    choices=["tones", "speech", "real"],
                     help="'speech' = formant-synthesized pseudo-speech where "
                          "the mel is genuinely informative (conditioning-"
                          "usage gates); 'tones' = harmonic corpus (tonality "
-                         "gates, optional --compare_pallas)")
+                         "gates, optional --compare_pallas); 'real' = "
+                         "overfit the reference's committed real-LJSpeech "
+                         "clip with a held-out tail (main_real)")
     ap.add_argument("--compare_pallas", action="store_true",
                     help="also synthesize with the Pallas bf16 and W8A8 int8 "
                          "kernels and gate on their quality metrics "
@@ -567,4 +729,6 @@ if __name__ == "__main__":
     if args.student:
         sys.exit(main_student(args.steps, args.out_dir, args.corpus, args.pairing,
                               args.n_utts))
+    if args.corpus == "real":
+        sys.exit(main_real(args.steps, args.out_dir))
     sys.exit(main(args.steps, args.out_dir, args.corpus, args.head, args.n_utts))
