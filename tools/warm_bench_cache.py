@@ -21,9 +21,44 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WARM = os.path.join(REPO, "benchmarks", "warm_cache")
+LIVE = os.path.join(REPO, ".jax_cache")
+# the three programs bench.py compiles (names come from the jitted
+# function names in bench.py — keep in sync)
+BENCH_PREFIXES = ("jit__shipped-", "jit__anchor-", "jit_calibrate_act_amax-")
+
+
+def snapshot_from_live():
+    """Copy the newest live-cache entry per bench program into WARM —
+    use right after a successful `python bench.py` run (cheaper than the
+    fresh-dir subprocess, same result)."""
+    assert os.path.isdir(LIVE), "no live cache; run bench.py first"
+    picks = {}
+    for f in os.listdir(LIVE):
+        for pre in BENCH_PREFIXES:
+            if f.startswith(pre):
+                p = os.path.join(LIVE, f)
+                if pre not in picks or os.path.getmtime(p) > os.path.getmtime(picks[pre]):
+                    picks[pre] = p
+    missing = [p for p in BENCH_PREFIXES if p not in picks]
+    if missing:
+        print(f"missing live entries for {missing}; run bench.py first",
+              file=sys.stderr)
+        return 1
+    if os.path.isdir(WARM):
+        shutil.rmtree(WARM)
+    os.makedirs(WARM)
+    total = 0
+    for pre, src in picks.items():
+        shutil.copyfile(src, os.path.join(WARM, os.path.basename(src)))
+        total += os.path.getsize(src)
+    print(f"committed-warm-cache refreshed from live cache: {len(picks)} "
+          f"entries, {total / 1e6:.1f} MB -> {WARM}")
+    return 0
 
 
 def main():
+    if "--from_live" in sys.argv:
+        return snapshot_from_live()
     fresh = tempfile.mkdtemp(prefix="bench_cache_")
     env = dict(os.environ, BENCH_CACHE_DIR=fresh)
     print(f"running bench.py with fresh cache dir {fresh} ...", flush=True)
