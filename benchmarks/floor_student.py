@@ -66,7 +66,9 @@ def analytic_floors(cfg, dtype_bytes=2):
     f1, s1 = cfg.deconv_config[0]
     f2, s2 = cfg.deconv_config[1]
     up1 = s1 * s2  # samples per stage-1 input frame... stage1 output is L/s2
-    macs += f1 * cfg.num_mel * dw // (s1 * s2) + f2 * dw * dw // s2
+    from nsynth_wavenet_tpu.ops.stft import MEL_PARAMS
+
+    macs += f1 * MEL_PARAMS.num_mel * dw // (s1 * s2) + f2 * dw * dw // s2
 
     bytes_pm = 0
     # per layer: read l + write l' (residual), in trunk dtype; the gate
@@ -126,7 +128,16 @@ def main():
     )
     pwn = ParallelWavenet(cfg)
     params = pwn.init_params(jax.random.PRNGKey(0))
-    synth = parallelgen.jit_synthesize(pwn)
+
+    import jax.numpy as jnp
+
+    # scalar witness per timed rep: the debug tunnel's transfer rate swings
+    # ~KB/s-MB/s (benchmarks/RESULTS.md round-3), so fetching the full
+    # audio batch would time the tunnel, not the chip
+    @jax.jit
+    def synth(params, mel, rng):
+        audio = parallelgen.synthesize(pwn, params, mel, rng)
+        return audio, jnp.mean(jnp.abs(audio))
 
     L = int(16000 * args.sec)
     macs_ps, bytes_ps = analytic_floors(cfg)
@@ -147,17 +158,20 @@ def main():
         ).astype(np.float32)
         mel = np.asarray(stft.melspectrogram_np(wav))
         t0 = time.time()
-        out = np.asarray(synth(params, mel, jax.random.PRNGKey(0)))
+        audio_dev, w = synth(params, mel, jax.random.PRNGKey(0))
+        assert np.isfinite(float(np.asarray(w)))
         print(f"B={B}: compile+first {time.time() - t0:.1f}s "
-              f"(audio {out.shape})", file=sys.stderr)
+              f"(audio {audio_dev.shape})", file=sys.stderr)
+        shape = audio_dev.shape
         times = []
         for i in range(args.reps):
             t0 = time.time()
-            out = np.asarray(synth(params, mel, jax.random.PRNGKey(i)))
+            _, w = synth(params, mel, jax.random.PRNGKey(i))
+            np.asarray(w)
             times.append(time.time() - t0)
         dt = float(np.median(times))
-        audio_sec = out.shape[0] * out.shape[1] / 16000.0
-        sps = out.shape[0] * out.shape[1] / dt
+        audio_sec = shape[0] * shape[1] / 16000.0
+        sps = shape[0] * shape[1] / dt
         results[B] = audio_sec / dt
         print(f"B={B}: median {dt * 1e3:.1f} ms "
               f"(spread {min(times) * 1e3:.0f}-{max(times) * 1e3:.0f}) = "
@@ -175,11 +189,11 @@ def main():
         -0.99, 0.99,
     ).astype(np.float32)
     mel = np.asarray(stft.melspectrogram_np(wav))
-    np.asarray(synth(params, mel, jax.random.PRNGKey(0)))
+    np.asarray(synth(params, mel, jax.random.PRNGKey(0))[1])
     log_dir = os.environ.get("PROFILE_DIR", "/tmp/student_profile")
     os.makedirs(log_dir, exist_ok=True)
     with jax.profiler.trace(log_dir, create_perfetto_trace=True):
-        np.asarray(synth(params, mel, jax.random.PRNGKey(1)))
+        np.asarray(synth(params, mel, jax.random.PRNGKey(1))[1])
     trace_top_ops(log_dir)
 
 
