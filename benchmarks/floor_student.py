@@ -20,9 +20,6 @@ Usage: python benchmarks/floor_student.py [--batches 8,16,32,64] [--sec 4.0]
 """
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -84,35 +81,9 @@ def analytic_floors(cfg, dtype_bytes=2):
 
 
 def trace_top_ops(log_dir, top=20):
-    paths = sorted(
-        glob.glob(os.path.join(log_dir, "**", "perfetto_trace.json.gz"),
-                  recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        return
-    with gzip.open(paths[-1], "rt") as f:
-        obj = json.load(f)
-    events = obj["traceEvents"] if isinstance(obj, dict) else obj
-    tids = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            tids[(e.get("pid"), e.get("tid"))] = e["args"]["name"]
-    agg = {}
-    for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        line = tids.get((e.get("pid"), e.get("tid")), "?")
-        if "TensorCore" not in line and "XLA" not in line and "/device" not in line:
-            continue
-        key = (line[:30], e.get("name", "?")[:70])
-        a = agg.setdefault(key, [0, 0.0])
-        a[0] += 1
-        a[1] += e["dur"]
-    total = sum(v[1] for v in agg.values())
-    print(f"\ntrace: {total / 1e3:.1f} ms device time; top ops:")
-    for (line, name), (n, dur) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:top]:
-        print(f"  {dur / 1e3:9.2f} ms  x{n:<5d} [{line}] {name}")
+    from benchmarks.trace_util import top_device_ops
+
+    top_device_ops(log_dir, top=top)
 
 
 def main():

@@ -98,6 +98,17 @@ def main():
 
     timeit("full train step (mel+fwd+bwd+Adam+EMA)", full, state, wav, key)
 
+    if "--trace" in sys.argv:
+        # device-op breakdown of ONE full train step (round-3 VERDICT #5:
+        # name where the non-MXU time inside the conv stack goes)
+        from benchmarks.trace_util import top_device_ops
+
+        log_dir = os.environ.get("PROFILE_DIR", "/tmp/teacher_profile")
+        os.makedirs(log_dir, exist_ok=True)
+        with jax.profiler.trace(log_dir, create_perfetto_trace=True):
+            _fetch(full(state, wav, key))
+        top_device_ops(log_dir, top=35)
+
     # ---- isolate the optimizer tail (full step minus fwd+bwd+mel).
     # CAVEAT: these standalone rows carry the full per-call dispatch+fetch
     # RTT of the tunneled backend (~25-45 ms), which dwarfs the actual
