@@ -58,9 +58,11 @@ def main():
         mel = stft.melspectrogram_np(wav)
         gen_len = (mel.shape[1] - 1) * 200
         try:
+            # scalar witness: bulk audio fetches time the debug tunnel, not
+            # the chip (benchmarks/RESULTS.md round-3)
             gen = jax.jit(
-                lambda p, m, s: fg.generate_pallas(p, m, s, length=gen_len,
-                                                   weight_dtype=dtype, **extra)
+                lambda p, m, s: jnp.mean(jnp.abs(fg.generate_pallas(
+                    p, m, s, length=gen_len, weight_dtype=dtype, **extra)))
             )
             t0 = time.time()
             out = np.asarray(gen(params, mel, 1))
