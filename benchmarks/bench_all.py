@@ -89,7 +89,13 @@ def bench_ar(results, quick):
 
 
 def bench_iaf(results, quick):
+    """One-shot IAF student serving, XLA and fused-Pallas paths, with the
+    XLA path doubling as the interleaved same-session anchor (round-3
+    VERDICT #3: make student serving a tracked scoreboard metric with the
+    same anchor-ratio discipline as the AR headline).  Scalar-witness
+    timing — fetching the audio batch would time the debug tunnel."""
     import jax
+    import jax.numpy as jnp
 
     from nsynth_wavenet_tpu import config as config_lib
     from nsynth_wavenet_tpu.models import parallelgen
@@ -102,24 +108,47 @@ def bench_iaf(results, quick):
     params = pwn.init_params(jax.random.PRNGKey(0))
     B, L = (8, 16000) if quick else (16, 64000)
     wav, mel = _wav_mel(B, L)
-    synth = parallelgen.jit_synthesize(pwn)
-    t0 = time.time()
-    out = np.asarray(synth(params, mel, jax.random.PRNGKey(0)))
-    compile_s = time.time() - t0
-    t0 = time.time()
-    runs = 5
-    for i in range(runs):
-        out = np.asarray(synth(params, mel, jax.random.PRNGKey(i)))
-    dt = (time.time() - t0) / runs
-    audio_sec = out.shape[0] * out.shape[1] / 16000.0
-    results["iaf_parallel_gen"] = {
-        "audio_sec_per_s_per_chip": round(audio_sec / dt, 1),
-        "delay": round(dt / audio_sec, 5),  # reference parallelgen.py:46-50
-        "batch": B,
-        "utterance_sec": round(out.shape[1] / 16000.0, 2),
-        "compile_s": round(compile_s, 1),
+    mel = np.asarray(mel)
+
+    fns = {
+        "iaf_parallel_gen": jax.jit(
+            lambda p, m, r: jnp.mean(jnp.abs(parallelgen.synthesize(pwn, p, m, r)))
+        ),
+        "iaf_parallel_gen_pallas": jax.jit(
+            lambda p, m, r: jnp.mean(
+                jnp.abs(parallelgen.synthesize_pallas(pwn, p, m, r))
+            )
+        ),
     }
-    print(f"iaf_parallel_gen: {results['iaf_parallel_gen']}", file=sys.stderr)
+    timed, compiles = {n: [] for n in fns}, {}
+    utt_len = None
+    for name, fn in fns.items():
+        t0 = time.time()
+        w = float(np.asarray(fn(params, mel, jax.random.PRNGKey(0))))
+        compiles[name] = time.time() - t0
+        assert np.isfinite(w)
+    utt_len = pwn.sample_length(mel.shape[1])
+    runs = 3 if quick else 5
+    for i in range(runs):
+        for name, fn in fns.items():  # interleaved: shared weather
+            t0 = time.time()
+            np.asarray(fn(params, mel, jax.random.PRNGKey(i)))
+            timed[name].append(time.time() - t0)
+    audio_sec = B * utt_len / 16000.0
+    meds = {n: float(np.median(t)) for n, t in timed.items()}
+    for name in fns:
+        results[name] = {
+            "audio_sec_per_s_per_chip": round(audio_sec / meds[name], 1),
+            "delay": round(meds[name] / audio_sec, 5),  # parallelgen.py:46-50
+            "batch": B,
+            "utterance_sec": round(utt_len / 16000.0, 2),
+            "compile_s": round(compiles[name], 1),
+        }
+    results["iaf_parallel_gen_pallas"]["ratio_vs_xla_anchor"] = round(
+        meds["iaf_parallel_gen"] / meds["iaf_parallel_gen_pallas"], 2
+    )
+    for name in fns:
+        print(f"{name}: {results[name]}", file=sys.stderr)
 
 
 def bench_teacher_train(results, quick):

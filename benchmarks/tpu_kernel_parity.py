@@ -204,6 +204,88 @@ def check_golden_freerun():
     return ok
 
 
+def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0):
+    """COMPILED-mode flow-stack kernel parity on TPU (round-3 VERDICT #2).
+
+    Interpret mode hid both round-3 Mosaic miscompiles (bf16 carries wrong
+    from the d=64 layer; overlapping VMEM self-copy corruption when
+    2d > tile) — this gates the exact configurations where they lived:
+    the 2d > tile carry slide and compact (bf16 cond/weight) mode, on
+    hardware.
+    """
+    from nsynth_wavenet_tpu.ops import flow_kernel as flk
+
+    Bf, W = (2 * b_tile if b_tile else 8), 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(Bf, L, W).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.randn(Bf, L, n_layers * W).astype(np.float32) * 0.1)
+    w_tap = jnp.asarray(rng.randn(n_layers, 3, W, W).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    w_res = jnp.asarray(rng.randn(n_layers, W // 2, W).astype(np.float32) * 0.1)
+    b_res = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    args = (x, cond, w_tap, b, w_res, b_res)
+    want = np.asarray(
+        jax.jit(lambda *a: flk.flow_stack_reference(*a, num_stages=num_stages))(
+            *args
+        )
+    )
+    got = np.asarray(
+        jax.jit(
+            flk.make_flow_stack_fn(
+                n_layers, num_stages, W, Bf, L, tile=tile, b_tile=b_tile,
+                compact=compact,
+            )
+        )(*args)
+    )
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    tol = 2e-2
+    ok = err < tol and np.isfinite(got).all()
+    print(
+        f"flow_stack[NL={n_layers}/st={num_stages}/tile={tile}/L={L}/"
+        f"compact={compact}/bt={b_tile or Bf}]: rel_err {err:.5f} "
+        f"(tol {tol}) {'OK' if ok else 'FAIL'}", file=sys.stderr,
+    )
+    return ok
+
+
+def check_student_integrated():
+    """parallelgen.synthesize_pallas (REAL kernels) vs synthesize (XLA) on
+    hardware — a small lane-aligned student with a >num_stages flow to
+    cover the chained-stack chunking, batch tiling, and the full
+    cond-precompute + out-head + composition wiring."""
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", num_iaf_layers=(2, 4), num_stages=2, width=64,
+        deconv_width=128, wave_length=1280, upsample_act="leaky_relu",
+        use_share_deconv=True,
+    )
+    pwn = ParallelWavenet(cfg)
+    params = pwn.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    t = np.arange(1280) / 16000.0
+    wav = np.clip(
+        0.3 * np.sin(2 * np.pi * 200 * t)[None] + 0.02 * rng.randn(16, 1280),
+        -0.99, 0.99,
+    ).astype(np.float32)
+    mel = jnp.asarray(stft.melspectrogram_np(wav))
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(jax.jit(
+        lambda p, m, r: parallelgen.synthesize(pwn, p, m, r))(params, mel, key))
+    b = np.asarray(jax.jit(
+        lambda p, m, r: parallelgen.synthesize_pallas(
+            pwn, p, m, r, tile=64, b_tile=8))(params, mel, key))
+    err = np.abs(a - b).max()
+    corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+    # bf16 trunks accumulate differently (fused cond matmul, 3-tap matmuls)
+    # — gate on near-perfect correlation + a loose abs bound
+    ok = corr > 0.999 and err < 0.05 and np.isfinite(b).all()
+    print(f"student_integrated: max_abs_diff {err:.4f} corr {corr:.6f} "
+          f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+    return ok
+
+
 def main():
     ok = True
     ok &= check_prng()
@@ -214,6 +296,14 @@ def main():
     for wd in (jnp.bfloat16, jnp.int8):
         ok &= check_streaming(wd)
     ok &= check_streaming(jnp.int8, act_scale="static")
+    # fused IAF flow-stack kernel (compiled, not interpret):
+    #  - 2d > tile slide at the full d=512 ladder, compact mode (the
+    #    shipped serving configuration)
+    ok &= check_flow_stack(10, 10, 128, 1280, compact=True)
+    #  - f32 (non-compact) + batch tiling (b_tile must be 8-divisible on
+    #    hardware) at a 2d > tile dilation
+    ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8)
+    ok &= check_student_integrated()
     ok &= check_golden_freerun()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

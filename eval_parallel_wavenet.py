@@ -25,8 +25,12 @@ if __name__ == "__main__":
                         help="truncate input wavs to this many samples")
     parser.add_argument("--npy_only", action="store_true",
                         help="use only .npy (precomputed mel) inputs")
+    parser.add_argument("--pallas", action="store_true",
+                        help="serve through the fused flow-stack Pallas "
+                             "kernel (models/parallelgen.synthesize_pallas)")
     args = parser.parse_args()
     evaluation.generate_parallel_wavenet(
         args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
         args.seed, sample_length=args.sample_length, npy_only=args.npy_only,
+        use_pallas=args.pallas,
     )

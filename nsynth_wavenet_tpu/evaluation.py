@@ -215,10 +215,14 @@ def generate_wavenet(
 
 def generate_parallel_wavenet(
     source_path, ckpt_dir, save_path, batch_size=4, seed=0,
-    sample_length=-1, npy_only=False,
+    sample_length=-1, npy_only=False, use_pallas=False,
 ):
     """One-shot student synthesis with the Delay metric
-    (reference eval_parallel_wavenet.py + parallelgen.py:43-50)."""
+    (reference eval_parallel_wavenet.py + parallelgen.py:43-50).
+
+    use_pallas: run the flow trunks through the fused Pallas kernel
+    (parallelgen.synthesize_pallas) — the fast serving path; the batch is
+    padded to a multiple of the kernel's batch tile."""
     import jax
 
     from nsynth_wavenet_tpu.models import parallelgen
@@ -227,18 +231,26 @@ def generate_parallel_wavenet(
     model, params = load_eval_model(ckpt_dir)
     os.makedirs(save_path, exist_ok=True)
     files = discover_files(source_path, npy_only)
-    synth = parallelgen.jit_synthesize(model)
-    mesh = mesh_lib.data_mesh_for_batch(batch_size)
-    synth_sharded = parallelgen.jit_synthesize_sharded(model, mesh)
-    # commit params to the replicated sharding once (not per batch)
-    params = mesh_lib.replicate_tree(params, mesh)
+    if use_pallas:
+        synth = synth_sharded = parallelgen.jit_synthesize_pallas(model)
+    else:
+        synth = parallelgen.jit_synthesize(model)
+        mesh = mesh_lib.data_mesh_for_batch(batch_size)
+        synth_sharded = parallelgen.jit_synthesize_sharded(model, mesh)
+        # commit params to the replicated sharding once (not per batch)
+        params = mesh_lib.replicate_tree(params, mesh)
     outputs = []
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
         mel = load_mel_batch(chunk, sample_length)
+        if use_pallas and mel.shape[0] % 8 != 0 and mel.shape[0] > 4:
+            # pad to the kernel's b_tile so the batch grid divides evenly
+            mel = np.pad(mel, ((0, -mel.shape[0] % 8), (0, 0), (0, 0)))
         t0 = time.time()
         fn = synth_sharded if mel.shape[0] == batch_size else synth
-        audio = np.asarray(fn(params, mel, jax.random.PRNGKey(seed + i)))
+        audio = np.asarray(fn(params, mel, jax.random.PRNGKey(seed + i)))[
+            : len(chunk)
+        ]
         dt = time.time() - t0
         audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
         log.info(

@@ -4,11 +4,30 @@ Reference wavenet/parallelgen.py builds a session-bound graph per utterance
 and logs a wall-clock "Delay" metric (:43-50).  Here synthesis is one jitted
 function: mel -> base noise -> IAF flows -> clip/quantize -> audio, all on
 device; the Delay metric lives in the eval CLI / bench harness.
+
+Two compute paths:
+
+  * XLA (`synthesize`): ParallelWavenet.feed_forward as-is.  Round-3 floor
+    analysis (benchmarks/floor_student.py) measured it ~11x above the
+    device floor — XLA lowers every width-64 flow conv with the VPU window
+    emitter and round-trips the [B, L, 64] stream through HBM per layer.
+  * fused Pallas (`feed_forward_pallas` / `synthesize_pallas`): each flow's
+    dilated trunk runs as chained ops/flow_kernel stack calls (one per
+    num_stages-layer dilation cycle) with all inter-layer activations in
+    VMEM; the per-layer mel-cond 1x1s are precomputed as one dense matmul
+    from the shared deconv encoding; start conv, out heads and the f32 flow
+    composition stay in XLA (elementwise streams XLA fuses fine —
+    docs/student_kernel_plan.md).
 """
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
+from nsynth_wavenet_tpu.models import wavenet as wavenet_lib
 from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+from nsynth_wavenet_tpu.ops import conv as conv_ops
+from nsynth_wavenet_tpu.ops import flow_kernel as flow_kernel_ops
 from nsynth_wavenet_tpu.ops import stft as stft_ops
 
 
@@ -28,6 +47,179 @@ def synthesize_from_wav(pwn: ParallelWavenet, params, wav, rng):
 
 def jit_synthesize(pwn: ParallelWavenet):
     return jax.jit(lambda params, mel, rng: synthesize(pwn, params, mel, rng))
+
+
+# ---------------------------------------------------------------------------
+# Fused-Pallas serving path
+# ---------------------------------------------------------------------------
+
+
+def _trim_to(enc, length):
+    """Center-trim the deconv encoding to the sample length — the same
+    slice wavenet.condition_add takes (reference wavenet/wavenet.py:76-85);
+    hoisted before the cond precompute since every cond conv is 1x1."""
+    left = (enc.shape[1] - length) // 2
+    return jax.lax.dynamic_slice_in_dim(enc, left, length, axis=1)
+
+
+def _iaf_flow_pallas(
+    pwn, flow_params, x, enc_t, flow_idx, *, tile, b_tile, interpret, compact
+):
+    """One IAF flow with the dilated trunk in the fused Pallas kernel.
+
+    Mirrors ParallelWavenet._create_iaf (reference parallel_wavenet.py:
+    200-287) with the per-layer loop replaced by ops/flow_kernel stack
+    calls.  x: [B, L, 1] f32; enc_t: encoding already center-trimmed to L.
+    Returns dict(x, mean, scale, log_scale) like _create_iaf.
+    """
+    cfg = pwn.cfg
+    dtype = pwn.dtype or jnp.float32
+    B, L, _ = x.shape
+    n_layers = cfg.num_iaf_layers[flow_idx]
+    W = cfg.width
+
+    sw = flow_kernel_ops.stack_flow_weights(flow_params)
+
+    # cond precompute: all layers' mel-cond 1x1s as ONE [L, DW] x
+    # [DW, NL*GW] matmul (MXU-dense), biases folded in
+    dw = sw["w_cond"].shape[1]
+    w_cond_mat = jnp.transpose(sw["w_cond"], (1, 0, 2)).reshape(dw, -1)
+    cond = (
+        jnp.einsum(
+            "blc,cn->bln",
+            enc_t.astype(dtype),
+            w_cond_mat.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + sw["b_cond"].reshape(-1)
+    )  # [B, L, NL*GW] f32
+
+    l = conv_ops.shift_right(x)
+    l = conv_ops.conv1d(
+        flow_params["start_conv"], l, dtype=dtype, out_dtype=dtype
+    ).astype(jnp.float32)
+
+    # dilated trunk: chained fused stacks, one per dilation cycle (chunking
+    # at num_stages boundaries preserves the 2^(i % num_stages) pattern and
+    # keeps each call's carry scratch inside the ~16 MB VMEM budget)
+    for s in range(0, n_layers, cfg.num_stages):
+        nl = min(cfg.num_stages, n_layers - s)
+        fn = flow_kernel_ops.make_flow_stack_fn(
+            nl, cfg.num_stages, W, B, L,
+            tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
+        )
+        l = fn(
+            l,
+            cond[:, :, s * W : (s + nl) * W],
+            sw["w_tap"][s : s + nl],
+            sw["b"][s : s + nl],
+            sw["w_res"][s : s + nl],
+            sw["b_res"][s : s + nl],
+        )
+
+    # out heads (XLA): identical tail to _create_iaf
+    l = jax.nn.relu(l.astype(dtype))
+    l = conv_ops.conv1d(flow_params["out1"], l, dtype=dtype, out_dtype=dtype)
+    c = conv_ops.conv1d(
+        flow_params["mel_cond_out1"], enc_t, dtype=dtype, out_dtype=dtype
+    )
+    l = wavenet_lib.condition_add(l, c)
+    l = jax.nn.relu(l)
+    mean = conv_ops.conv1d(flow_params["out2_mean"], l, dtype=dtype)
+    scale_params = conv_ops.conv1d(flow_params["out2_scale"], l, dtype=dtype)
+    scale, log_scale = pwn.scale_log_scale(scale_params)
+    return {
+        "x": x * scale + mean,
+        "mean": mean,
+        "scale": scale,
+        "log_scale": log_scale,
+    }
+
+
+def feed_forward_pallas(
+    pwn: ParallelWavenet,
+    params,
+    inputs,
+    rng=None,
+    *,
+    tile: int = 128,
+    b_tile: int = 8,
+    interpret: bool = None,
+    compact: bool = True,
+):
+    """ParallelWavenet.feed_forward with the flow trunks in the fused
+    Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
+    returns the ff dict (without new_params — serving never inits).
+
+    tile/b_tile: length/batch tiles of the kernel grid.  Defaults sized for
+    the full student ladder (d<=512) at the ~16 MB VMEM budget.
+    interpret: None = auto (real kernel on TPU, interpreter elsewhere so
+    the same serving entry point runs in CPU tests/drives).
+    """
+    cfg = pwn.cfg
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mel = inputs["mel"]
+    B, num_frames, _ = mel.shape
+    length = pwn.sample_length(num_frames)
+    while length % tile:
+        tile //= 2
+    # Mosaic constraint: the batch tile must be 8-divisible or the whole
+    # batch (see make_flow_stack_fn); pick the largest allowed divisor
+    cands = [bt for bt in range(8, B + 1, 8) if B % bt == 0 and bt <= b_tile]
+    b_tile = max(cands) if cands else B
+
+    if "base_x" in inputs:
+        x = inputs["base_x"]
+        assert x.shape == (B, length), (x.shape, (B, length))
+    else:
+        assert rng is not None
+        x = pwn.base_noise(rng, B, length)
+
+    shared_enc = None
+    if cfg.use_share_deconv or cfg.use_teacher_deconv:
+        shared_enc, _ = pwn._flow_deconv(params, None, mel, False)
+
+    iaf_x = x[..., None]
+    mean_tot, scale_tot, log_scale_tot = 0.0, 1.0, 0.0
+    for fi in range(pwn.num_flows):
+        fp = params["flows"][fi]
+        if shared_enc is None:
+            mel_en, _ = pwn._flow_deconv(params, fp, mel, False)
+        else:
+            mel_en = shared_enc
+        iaf_dict = _iaf_flow_pallas(
+            pwn, fp, iaf_x, _trim_to(mel_en, length), fi,
+            tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
+        )
+        iaf_x = iaf_dict["x"]
+        scale = iaf_dict["scale"]
+        mean_tot = iaf_dict["mean"] + mean_tot * scale
+        scale_tot = scale_tot * scale
+        log_scale_tot = log_scale_tot + iaf_dict["log_scale"]
+
+    mean_tot = mean_tot[..., 0]
+    scale_tot = jnp.minimum(scale_tot, np.exp(7.0))[..., 0]
+    log_scale_tot = jnp.minimum(log_scale_tot, 7.0)[..., 0]
+    return {
+        "x": x * scale_tot + mean_tot,
+        "mean_tot": mean_tot,
+        "scale_tot": scale_tot,
+        "log_scale_tot": log_scale_tot,
+        "rand_input": x,
+    }
+
+
+def synthesize_pallas(pwn: ParallelWavenet, params, mel, rng, **kw):
+    """Fused-Pallas twin of `synthesize` (same mel -> audio contract)."""
+    ff = feed_forward_pallas(pwn, params, {"mel": mel}, rng, **kw)
+    return pwn._clip_quant_scale(ff["x"])
+
+
+def jit_synthesize_pallas(pwn: ParallelWavenet, **kw):
+    return jax.jit(
+        lambda params, mel, rng: synthesize_pallas(pwn, params, mel, rng, **kw)
+    )
 
 
 def jit_synthesize_seq_sharded(pwn: ParallelWavenet, mesh):

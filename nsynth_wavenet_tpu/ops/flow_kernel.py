@@ -49,6 +49,7 @@ def make_flow_stack_fn(
     length: int,
     *,
     tile: int = 512,
+    b_tile: int = 0,
     interpret: bool = False,
     compact: bool = False,
     carry_dtype=None,
@@ -60,11 +61,19 @@ def make_flow_stack_fn(
     Causal zero history at t<0 (matches conv_ops.conv1d causal padding).
     length % tile == 0 required.
 
-    compact: bf16 conditioning stream (+ bf16 carries unless carry_dtype
-    overrides) — shrinks the dominant VMEM terms so the full student
-    dilation ladder (d up to 512) fits the ~16 MB budget; the inter-layer
-    residual stream l stays f32 within a tile, and the matmuls run bf16
-    either way.
+    b_tile: batch tile (0 = whole batch per kernel instance).  The carry
+    scratch scales with sum(2*d)*b_tile rows — at the full student ladder
+    (d up to 512) a 10-layer stack needs ~6.8 MB of f32 carries at
+    b_tile=8, so serving batches larger than ~8 must grid over batch tiles
+    (grid = (B/b_tile, L/tile), length innermost so each batch row streams
+    its tiles sequentially through the same carries).
+
+    compact: bf16 conditioning stream and bf16 tap/res weight storage
+    (+ bf16 carries only if carry_dtype overrides) — shrinks the dominant
+    VMEM terms so the full student dilation ladder fits the ~16 MB budget;
+    the inter-layer residual stream l stays f32 within a tile, and the
+    matmuls run bf16 either way (weight bf16 storage is numerically
+    identical: the f32 path casts to bf16 at the matmul anyway).
 
     carry_dtype: dtype of the dilation-history scratch.  MEASURED MOSAIC
     BUG (2026-08-20, v5e): bf16 carries produce wrong taps starting at the
@@ -74,16 +83,24 @@ def make_flow_stack_fn(
     drops to bf16.  Revisit if a backend update fixes the relayout.
     """
     assert length % tile == 0
+    if not b_tile:
+        b_tile = batch
+    assert batch % b_tile == 0, (batch, b_tile)
+    # Mosaic requires the block's second-to-last dim (the batch tile here)
+    # to be 8-divisible or equal to the full array dim (measured 2026-08-20:
+    # b_tile=4 at batch=8 fails lowering; interpret mode doesn't enforce)
+    assert interpret or b_tile % 8 == 0 or b_tile == batch, (b_tile, batch)
     m = width // 2
     dils = [2 ** (i % num_stages) for i in range(n_layers)]
-    grid = (length // tile,)
-    B, W = batch, width
+    grid = (batch // b_tile, length // tile)
+    B, W = b_tile, width
     cond_dt = jnp.bfloat16 if compact else jnp.float32
+    w_dt = jnp.bfloat16 if compact else jnp.float32
     cdt = carry_dtype if carry_dtype is not None else jnp.float32
 
     def kernel(*refs):
         i = 0
-        x_ref = refs[i]; i += 1        # [tile, B, W] (block of [L, B, W])
+        x_ref = refs[i]; i += 1        # [tile, B, W] (block of [L, Bfull, W])
         cond_ref = refs[i]; i += 1     # [tile, NL, B, W]
         wtap_ref = refs[i]; i += 1     # [NL, 3, W, W]
         b_ref = refs[i]; i += 1        # [NL, W]
@@ -92,9 +109,11 @@ def make_flow_stack_fn(
         out_ref = refs[i]; i += 1      # [tile, B, W]
         carries = refs[i : i + n_layers]  # per-layer [2*d + tile, B, W] f32
 
-        t0 = pl.program_id(0)
+        t0 = pl.program_id(1)
 
-        # zero the carries at utterance start (causal zero history)
+        # zero the carries at utterance start (causal zero history) — the
+        # length grid dim is innermost, so this also re-zeros them when the
+        # grid advances to the next batch tile
         @pl.when(t0 == 0)
         def _init():
             for li in range(n_layers):
@@ -153,12 +172,12 @@ def make_flow_stack_fn(
         out_ref[...] = l
 
     in_specs = [
-        pl.BlockSpec((tile, B, W), lambda t: (t, 0, 0)),
-        pl.BlockSpec((tile, n_layers, B, W), lambda t: (t, 0, 0, 0)),
-        pl.BlockSpec((n_layers, 3, W, W), lambda t: (0, 0, 0, 0)),
-        pl.BlockSpec((n_layers, W), lambda t: (0, 0)),
-        pl.BlockSpec((n_layers, m, W), lambda t: (0, 0, 0)),
-        pl.BlockSpec((n_layers, W), lambda t: (0, 0)),
+        pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
+        pl.BlockSpec((tile, n_layers, B, W), lambda bi, t: (t, 0, bi, 0)),
+        pl.BlockSpec((n_layers, 3, W, W), lambda bi, t: (0, 0, 0, 0)),
+        pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)),
+        pl.BlockSpec((n_layers, m, W), lambda bi, t: (0, 0, 0)),
+        pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)),
     ]
     scratch = [
         pltpu.VMEM((2 * d + tile, B, W), cdt) for d in dils
@@ -167,8 +186,8 @@ def make_flow_stack_fn(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_shape=jax.ShapeDtypeStruct((length, B, W), jnp.float32),
-        out_specs=pl.BlockSpec((tile, B, W), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((length, batch, W), jnp.float32),
+        out_specs=pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
         scratch_shapes=scratch,
         interpret=interpret,
     )
@@ -178,15 +197,43 @@ def make_flow_stack_fn(
         # cond [B, L, NL*W] -> [L, NL, B, W] so per-layer slices stay
         # tile-aligned
         xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)
-        Lc = cond.shape[1]
+        Bf, Lc = cond.shape[0], cond.shape[1]
         ct = jnp.transpose(
-            cond.reshape(B, Lc, n_layers, W), (1, 2, 0, 3)
+            cond.reshape(Bf, Lc, n_layers, W), (1, 2, 0, 3)
         ).astype(cond_dt)
-        out = call(xt, ct, w_tap.astype(jnp.float32), b.astype(jnp.float32),
-                   w_res.astype(jnp.float32), b_res.astype(jnp.float32))
+        out = call(xt, ct, w_tap.astype(w_dt), b.astype(jnp.float32),
+                   w_res.astype(w_dt), b_res.astype(jnp.float32))
         return jnp.transpose(out, (1, 0, 2))
 
     return fn
+
+
+def stack_flow_weights(flow_params):
+    """Stack one flow's per-layer conv params into the kernel's layout,
+    resolving weight norm (conv_ops.effective_kernel).
+
+    Returns dict:
+      w_tap  [NL, 3, W, GW]   dilated-conv kernels
+      b      [NL, GW]         dilated-conv biases
+      w_cond [NL, DW, GW]     mel-cond 1x1 kernels (for the host-side
+                              cond precompute — one dense matmul)
+      b_cond [NL, GW]         mel-cond biases (folded into the cond stream)
+      w_res  [NL, m, W]       res 1x1 kernels
+      b_res  [NL, W]          res biases
+    """
+    from nsynth_wavenet_tpu.ops import conv as conv_ops
+
+    layers = flow_params["layers"]
+    return {
+        "w_tap": jnp.stack([conv_ops.effective_kernel(l["dilated"]) for l in layers]),
+        "b": jnp.stack([l["dilated"]["b"] for l in layers]),
+        "w_cond": jnp.stack(
+            [conv_ops.effective_kernel(l["mel_cond"])[0] for l in layers]
+        ),
+        "b_cond": jnp.stack([l["mel_cond"]["b"] for l in layers]),
+        "w_res": jnp.stack([conv_ops.effective_kernel(l["res"])[0] for l in layers]),
+        "b_res": jnp.stack([l["res"]["b"] for l in layers]),
+    }
 
 
 def flow_stack_reference(x, cond, w_tap, b, w_res, b_res, num_stages):

@@ -44,3 +44,113 @@ def test_flow_stack_matches_conv_reference(n_layers, num_stages, tile, L):
                                    rtol=0)
     # the match must be non-trivial (outputs differ from the input)
     assert np.abs(want - np.asarray(x)).max() > 0.1
+
+
+def test_flow_stack_batch_tiling_matches_full_batch():
+    """b_tile < batch must reproduce the untiled kernel exactly: each batch
+    row streams its length tiles through freshly zeroed carries."""
+    n_layers, num_stages, tile, L, B, W = 4, 2, 32, 128, 8, 64
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, L, W).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.randn(B, L, n_layers * W).astype(np.float32) * 0.1)
+    w_tap = jnp.asarray(rng.randn(n_layers, 3, W, W).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    w_res = jnp.asarray(rng.randn(n_layers, W // 2, W).astype(np.float32) * 0.1)
+    b_res = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    args = (x, cond, w_tap, b, w_res, b_res)
+    full = np.asarray(
+        fk.make_flow_stack_fn(n_layers, num_stages, W, B, L, tile=tile,
+                              interpret=True)(*args)
+    )
+    for bt in (2, 4):
+        tiled = np.asarray(
+            fk.make_flow_stack_fn(n_layers, num_stages, W, B, L, tile=tile,
+                                  b_tile=bt, interpret=True)(*args)
+        )
+        np.testing.assert_array_equal(tiled, full)
+
+
+def _student(num_iaf_layers=(2, 4), num_stages=2, width=8, share=True,
+             compute_dtype="float32"):
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic",
+        num_iaf_layers=num_iaf_layers,
+        num_stages=num_stages,
+        width=width,
+        deconv_width=16,
+        wave_length=1280,
+        use_mu_law=False,
+        upsample_act="leaky_relu",
+        use_share_deconv=share,
+        compute_dtype=compute_dtype,
+    )
+    pwn = ParallelWavenet(cfg)
+    return pwn, pwn.init_params(jax.random.PRNGKey(0))
+
+
+def _mel(batch=4, length=1280, seed=0):
+    from nsynth_wavenet_tpu.ops import stft
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(length) / 16000.0
+    wav = 0.3 * np.sin(2 * np.pi * 180 * t)[None, :] + 0.02 * rng.randn(batch, length)
+    return np.asarray(stft.melspectrogram(np.clip(wav, -0.99, 0.99).astype(np.float32)))
+
+
+@pytest.mark.parametrize("share,compute_dtype", [
+    (True, "float32"),
+    (True, "bfloat16"),
+    (False, "float32"),
+])
+def test_feed_forward_pallas_matches_xla(share, compute_dtype):
+    """End-to-end parity of the integrated fused-Pallas student path
+    (models/parallelgen.feed_forward_pallas) against feed_forward on the
+    same base noise — flows with n_layers > num_stages exercise the
+    chained-stack chunking, and per-flow deconv exercises the non-shared
+    encoding path."""
+    from nsynth_wavenet_tpu.models import parallelgen
+
+    pwn, params = _student(share=share, compute_dtype=compute_dtype)
+    mel = _mel()
+    B = mel.shape[0]
+    L = pwn.sample_length(mel.shape[1])
+    x = pwn.base_noise(jax.random.PRNGKey(3), B, L)
+
+    want, _ = pwn.feed_forward(params, {"mel": mel, "base_x": x})
+    got = parallelgen.feed_forward_pallas(
+        pwn, params, {"mel": mel, "base_x": x}, b_tile=2, interpret=True
+    )
+    # f32 still differs at accumulation-order level: the pallas path does
+    # the cond projection as one fused matmul and the taps as 3 matmuls
+    tol = 2e-2 if compute_dtype == "bfloat16" else 3e-4
+    for k in ("x", "mean_tot", "scale_tot", "log_scale_tot"):
+        a, b = np.asarray(got[k]), np.asarray(want[k])
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol * scale, rtol=0, err_msg=k)
+    # reconstruction identity on the pallas path's own outputs
+    recon = np.asarray(got["rand_input"]) * np.asarray(got["scale_tot"]) + np.asarray(
+        got["mean_tot"]
+    )
+    np.testing.assert_allclose(np.asarray(got["x"]), recon, rtol=1e-4, atol=1e-5)
+    assert np.asarray(got["scale_tot"]).min() > 0
+
+
+def test_synthesize_pallas_matches_xla_audio():
+    """synthesize vs synthesize_pallas agree to one quantization bin on the
+    same rng (the f32 composition is bit-close; clip_quant rounding can
+    flip a boundary bin)."""
+    from nsynth_wavenet_tpu.models import parallelgen
+
+    pwn, params = _student(compute_dtype="float32")
+    mel = _mel()
+    rng = jax.random.PRNGKey(11)
+    a = np.asarray(parallelgen.synthesize(pwn, params, mel, rng))
+    b = np.asarray(
+        parallelgen.synthesize_pallas(pwn, params, mel, rng, interpret=True)
+    )
+    assert a.shape == b.shape
+    bin_w = 2.0 / pwn.cfg.quant_chann
+    assert np.abs(a - b).max() <= bin_w + 1e-6
