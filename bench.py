@@ -55,13 +55,11 @@ BATCH = 640
 REPS = 5
 
 
-def _time_reps(fn, reps):
-    times = []
-    for i in range(reps):
-        t0 = time.time()
-        np.asarray(fn(i))  # forces a host fetch — honest end-to-end timing
-        times.append(time.time() - t0)
-    return times
+# JSON protocol tag: bumped whenever the timed quantity changes, so
+# round-over-round BENCH_r*.json values are only compared within one
+# protocol.  v1 = full-audio fetch (rounds 1-2, tunnel-dominated);
+# v2 = scalar witness + interleaved bf16 anchor (round 3 on).
+PROTOCOL = "scalar-witness-v2"
 
 
 def main():
@@ -212,11 +210,15 @@ def main():
         dta = float(np.median(anchor_times))
         anchor_tp = (ANCHOR_BATCH * gen_len / SR) / dta
         extra["anchor_audio_sec_per_s"] = round(anchor_tp, 4)
-        extra["ratio_vs_bf16_anchor"] = round(value / anchor_tp, 4)
+        # cross-batch ratio: shipped runs at B=640, the anchor at B=512
+        # (bf16 exceeds VMEM at 640), so this folds the batch-size
+        # advantage in with the kernel-mode speedup — the key name says so
+        extra["ratio_vs_bf16_anchor_B512"] = round(value / anchor_tp, 4)
         print(
             f"anchor:  median {dta:.3f}s at B={ANCHOR_BATCH} (spread "
             f"{min(anchor_times):.3f}-{max(anchor_times):.3f}) = "
-            f"{anchor_tp:.1f} audio-sec/s; shipped/anchor throughput ratio "
+            f"{anchor_tp:.1f} audio-sec/s; shipped(B={BATCH})/anchor(B="
+            f"{ANCHOR_BATCH}) cross-batch throughput ratio "
             f"{value / anchor_tp:.3f}x",
             file=sys.stderr,
         )
@@ -232,6 +234,7 @@ def main():
                 "value": round(value, 4),
                 "unit": "audio_sec/s/chip",
                 "vs_baseline": round(value / 1.0, 4),
+                "protocol": PROTOCOL,
                 **extra,
             }
         )

@@ -40,8 +40,9 @@ def main():
     w_res = jnp.asarray(rng.randn(NL, W // 2, W).astype(np.float32) * 0.1)
     b_res = jnp.asarray(rng.randn(NL, W).astype(np.float32) * 0.05)
 
-    # compact: bf16 carries/cond — the f32 variant exceeds VMEM at the
-    # full dilation ladder (d=512 carries + cond blocks)
+    # compact: bf16 cond stream + bf16 weight storage (carries stay f32 —
+    # the documented Mosaic bf16-carry miscompile, see make_flow_stack_fn);
+    # the all-f32 variant exceeds VMEM at the full dilation ladder
     pallas_fn = fk.make_flow_stack_fn(NL, stages, W, B, L, tile=tile,
                                       compact=True)
     fns = {}

@@ -204,46 +204,68 @@ def check_golden_freerun():
     return ok
 
 
-def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0):
+def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
+                     enc_mode=False):
     """COMPILED-mode flow-stack kernel parity on TPU (round-3 VERDICT #2).
 
     Interpret mode hid both round-3 Mosaic miscompiles (bf16 carries wrong
     from the d=64 layer; overlapping VMEM self-copy corruption when
     2d > tile) — this gates the exact configurations where they lived:
     the 2d > tile carry slide and compact (bf16 cond/weight) mode, on
-    hardware.
+    hardware.  enc_mode additionally gates the round-4 in-kernel cond
+    matmul + time-major interface (the shipped serving configuration).
     """
     from nsynth_wavenet_tpu.ops import flow_kernel as flk
 
-    Bf, W = (2 * b_tile if b_tile else 8), 64
+    Bf, W, DW = (2 * b_tile if b_tile else 8), 64, 256
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(Bf, L, W).astype(np.float32) * 0.3)
-    cond = jnp.asarray(rng.randn(Bf, L, n_layers * W).astype(np.float32) * 0.1)
     w_tap = jnp.asarray(rng.randn(n_layers, 3, W, W).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
     w_res = jnp.asarray(rng.randn(n_layers, W // 2, W).astype(np.float32) * 0.1)
     b_res = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
-    args = (x, cond, w_tap, b, w_res, b_res)
+    if enc_mode:
+        enc = jnp.asarray(rng.randn(Bf, L, DW).astype(np.float32) * 0.2)
+        w_cond = jnp.asarray(
+            rng.randn(n_layers, DW, W).astype(np.float32) * 0.05
+        )
+        # reference path: precompute the cond stream layer by layer
+        cond = jnp.concatenate(
+            [jnp.einsum("blc,cw->blw", enc, w_cond[i])
+             for i in range(n_layers)], axis=-1)
+    else:
+        cond = jnp.asarray(
+            rng.randn(Bf, L, n_layers * W).astype(np.float32) * 0.1
+        )
     want = np.asarray(
         jax.jit(lambda *a: flk.flow_stack_reference(*a, num_stages=num_stages))(
-            *args
+            x, cond, w_tap, b, w_res, b_res
         )
     )
-    got = np.asarray(
-        jax.jit(
-            flk.make_flow_stack_fn(
-                n_layers, num_stages, W, Bf, L, tile=tile, b_tile=b_tile,
-                compact=compact,
-            )
-        )(*args)
+    fn = flk.make_flow_stack_fn(
+        n_layers, num_stages, W, Bf, L, tile=tile, b_tile=b_tile,
+        compact=compact, cond_features=DW if enc_mode else 0,
+        time_major=enc_mode,
     )
+    if enc_mode:
+        cdt = jnp.bfloat16 if compact else jnp.float32
+        got = np.asarray(jax.jit(lambda *a: jnp.transpose(fn(*a), (1, 0, 2)))(
+            jnp.transpose(x, (1, 0, 2)),
+            jnp.transpose(enc, (1, 0, 2)).astype(cdt),
+            w_tap, b, w_res, b_res, w_cond,
+        ))
+    else:
+        got = np.asarray(
+            jax.jit(fn)(x, cond, w_tap, b, w_res, b_res)
+        )
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
     tol = 2e-2
     ok = err < tol and np.isfinite(got).all()
     print(
         f"flow_stack[NL={n_layers}/st={num_stages}/tile={tile}/L={L}/"
-        f"compact={compact}/bt={b_tile or Bf}]: rel_err {err:.5f} "
-        f"(tol {tol}) {'OK' if ok else 'FAIL'}", file=sys.stderr,
+        f"compact={compact}/bt={b_tile or Bf}/enc={enc_mode}]: "
+        f"rel_err {err:.5f} (tol {tol}) {'OK' if ok else 'FAIL'}",
+        file=sys.stderr,
     )
     return ok
 
@@ -303,6 +325,11 @@ def main():
     #  - f32 (non-compact) + batch tiling (b_tile must be 8-divisible on
     #    hardware) at a 2d > tile dilation
     ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8)
+    #  - round-4 serving configuration: in-kernel cond matmul (enc mode) +
+    #    time-major interface, full ladder compact + batch-tiled f32
+    ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True)
+    ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8,
+                           enc_mode=True)
     ok &= check_student_integrated()
     ok &= check_golden_freerun()
     print("PASS" if ok else "FAIL")

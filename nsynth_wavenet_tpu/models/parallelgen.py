@@ -62,71 +62,87 @@ def _trim_to(enc, length):
     return jax.lax.dynamic_slice_in_dim(enc, left, length, axis=1)
 
 
+def _mm_1x1(p, x, dtype, out_dtype=None):
+    """1x1 conv as a channels-last matmul (layout-agnostic: works on the
+    time-major [L, B, C] streams the fused path keeps).  Matches
+    conv_ops.conv1d's mixed-precision contract: operands cast to `dtype`,
+    f32 accumulation, output cast to out_dtype (None = f32)."""
+    w = conv_ops.effective_kernel(p)[0]
+    y = jnp.dot(
+        x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
+    )
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y + p["b"].astype(y.dtype)
+
+
 def _iaf_flow_pallas(
-    pwn, flow_params, x, enc_t, flow_idx, *, tile, b_tile, interpret, compact
+    pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret, compact
 ):
     """One IAF flow with the dilated trunk in the fused Pallas kernel.
 
     Mirrors ParallelWavenet._create_iaf (reference parallel_wavenet.py:
     200-287) with the per-layer loop replaced by ops/flow_kernel stack
-    calls.  x: [B, L, 1] f32; enc_t: encoding already center-trimmed to L.
-    Returns dict(x, mean, scale, log_scale) like _create_iaf.
+    calls in enc mode: the per-layer mel-cond 1x1s run INSIDE the kernel
+    against the raw deconv encoding (the precomputed-cond variant spent
+    more device time on cond layout copies + HBM round trips than on the
+    kernel itself — round-4 profile).  Everything stays TIME-MAJOR:
+    x [L, B, 1] f32, enc_tm [L, B, DW] (center-trimmed, kernel cond dtype);
+    returns dict(x, mean, scale, log_scale) like _create_iaf, time-major.
     """
     cfg = pwn.cfg
     dtype = pwn.dtype or jnp.float32
-    B, L, _ = x.shape
+    L, B, _ = x.shape
     n_layers = cfg.num_iaf_layers[flow_idx]
     W = cfg.width
+    dw = enc_tm.shape[-1]
 
     sw = flow_kernel_ops.stack_flow_weights(flow_params)
 
-    # cond precompute: all layers' mel-cond 1x1s as ONE [L, DW] x
-    # [DW, NL*GW] matmul (MXU-dense), biases folded in
-    dw = sw["w_cond"].shape[1]
-    w_cond_mat = jnp.transpose(sw["w_cond"], (1, 0, 2)).reshape(dw, -1)
-    cond = (
-        jnp.einsum(
-            "blc,cn->bln",
-            enc_t.astype(dtype),
-            w_cond_mat.astype(dtype),
-            preferred_element_type=jnp.float32,
+    # shift_right + filter-3 causal start conv over the 1-channel input as
+    # three shifted outer products (in-channel dim is 1 — a conv op would
+    # only add layout churn); l[t] = sum_k w[k] * x[t-3+k] + b
+    w_start = conv_ops.effective_kernel(flow_params["start_conv"])  # [3,1,W]
+    assert L >= 3, L  # L is a multiple of max_dilation
+    taps = []
+    for k in range(3):  # tap k sees x delayed by (3 - k) samples
+        delay = 3 - k
+        xd = jnp.concatenate(
+            [jnp.zeros((delay, B, 1), x.dtype), x[: L - delay]], 0
         )
-        + sw["b_cond"].reshape(-1)
-    )  # [B, L, NL*GW] f32
-
-    l = conv_ops.shift_right(x)
-    l = conv_ops.conv1d(
-        flow_params["start_conv"], l, dtype=dtype, out_dtype=dtype
-    ).astype(jnp.float32)
+        taps.append(xd * w_start[k, 0][None, None, :])
+    l = taps[0] + taps[1] + taps[2] + flow_params["start_conv"]["b"]
 
     # dilated trunk: chained fused stacks, one per dilation cycle (chunking
     # at num_stages boundaries preserves the 2^(i % num_stages) pattern and
-    # keeps each call's carry scratch inside the ~16 MB VMEM budget)
+    # keeps each call's carry scratch inside the VMEM budget); mel-cond
+    # biases fold into the dilated-conv biases
+    b_eff = sw["b"] + sw["b_cond"]
     for s in range(0, n_layers, cfg.num_stages):
         nl = min(cfg.num_stages, n_layers - s)
         fn = flow_kernel_ops.make_flow_stack_fn(
             nl, cfg.num_stages, W, B, L,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
+            cond_features=dw, time_major=True,
         )
         l = fn(
             l,
-            cond[:, :, s * W : (s + nl) * W],
+            enc_tm,
             sw["w_tap"][s : s + nl],
-            sw["b"][s : s + nl],
+            b_eff[s : s + nl],
             sw["w_res"][s : s + nl],
             sw["b_res"][s : s + nl],
+            sw["w_cond"][s : s + nl],
         )
 
-    # out heads (XLA): identical tail to _create_iaf
+    # out heads (XLA, time-major 1x1 matmuls): identical math to
+    # _create_iaf's tail
     l = jax.nn.relu(l.astype(dtype))
-    l = conv_ops.conv1d(flow_params["out1"], l, dtype=dtype, out_dtype=dtype)
-    c = conv_ops.conv1d(
-        flow_params["mel_cond_out1"], enc_t, dtype=dtype, out_dtype=dtype
-    )
-    l = wavenet_lib.condition_add(l, c)
-    l = jax.nn.relu(l)
-    mean = conv_ops.conv1d(flow_params["out2_mean"], l, dtype=dtype)
-    scale_params = conv_ops.conv1d(flow_params["out2_scale"], l, dtype=dtype)
+    l = _mm_1x1(flow_params["out1"], l, dtype, dtype)
+    c = _mm_1x1(flow_params["mel_cond_out1"], enc_tm, dtype, dtype)
+    l = jax.nn.relu(l + c)
+    mean = _mm_1x1(flow_params["out2_mean"], l, dtype)
+    scale_params = _mm_1x1(flow_params["out2_scale"], l, dtype)
     scale, log_scale = pwn.scale_log_scale(scale_params)
     return {
         "x": x * scale + mean,
@@ -145,20 +161,26 @@ def feed_forward_pallas(
     tile: int = 128,
     b_tile: int = 8,
     interpret: bool = None,
-    compact: bool = True,
+    compact: bool = None,
 ):
     """ParallelWavenet.feed_forward with the flow trunks in the fused
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
 
     tile/b_tile: length/batch tiles of the kernel grid.  Defaults sized for
-    the full student ladder (d<=512) at the ~16 MB VMEM budget.
+    the full student ladder (d<=512) at the kernel's raised VMEM budget.
     interpret: None = auto (real kernel on TPU, interpreter elsewhere so
     the same serving entry point runs in CPU tests/drives).
+    compact: bf16 enc stream + bf16 weight storage in the kernel.  None =
+    follow the model's compute dtype (bf16 model -> compact kernel; an
+    f32 model keeps the kernel f32 so parity tracks the XLA path at f32
+    tolerances).
     """
     cfg = pwn.cfg
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if compact is None:
+        compact = pwn.dtype == jnp.bfloat16
     mel = inputs["mel"]
     B, num_frames, _ = mel.shape
     length = pwn.sample_length(num_frames)
@@ -176,20 +198,31 @@ def feed_forward_pallas(
         assert rng is not None
         x = pwn.base_noise(rng, B, length)
 
-    shared_enc = None
-    if cfg.use_share_deconv or cfg.use_teacher_deconv:
-        shared_enc, _ = pwn._flow_deconv(params, None, mel, False)
+    # the whole fused path runs TIME-MAJOR ([L, B, ...]): the kernel grids
+    # over length tiles, so this hoists every per-call transpose into ONE
+    # enc transpose + one [L, B] <-> [B, L] swap of the audio streams
+    cond_dt = jnp.bfloat16 if compact else jnp.float32
 
-    iaf_x = x[..., None]
+    def enc_tm_of(mel_en):
+        return jnp.transpose(_trim_to(mel_en, length), (1, 0, 2)).astype(cond_dt)
+
+    shared_enc_tm = None
+    if cfg.use_share_deconv or cfg.use_teacher_deconv:
+        mel_en, _ = pwn._flow_deconv(params, None, mel, False)
+        shared_enc_tm = enc_tm_of(mel_en)
+
+    x_tm = jnp.transpose(x)[..., None]  # [L, B, 1] f32
+    iaf_x = x_tm
     mean_tot, scale_tot, log_scale_tot = 0.0, 1.0, 0.0
     for fi in range(pwn.num_flows):
         fp = params["flows"][fi]
-        if shared_enc is None:
+        if shared_enc_tm is None:
             mel_en, _ = pwn._flow_deconv(params, fp, mel, False)
+            enc_tm = enc_tm_of(mel_en)
         else:
-            mel_en = shared_enc
+            enc_tm = shared_enc_tm
         iaf_dict = _iaf_flow_pallas(
-            pwn, fp, iaf_x, _trim_to(mel_en, length), fi,
+            pwn, fp, iaf_x, enc_tm, fi,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
         )
         iaf_x = iaf_dict["x"]
@@ -198,9 +231,10 @@ def feed_forward_pallas(
         scale_tot = scale_tot * scale
         log_scale_tot = log_scale_tot + iaf_dict["log_scale"]
 
-    mean_tot = mean_tot[..., 0]
-    scale_tot = jnp.minimum(scale_tot, np.exp(7.0))[..., 0]
-    log_scale_tot = jnp.minimum(log_scale_tot, 7.0)[..., 0]
+    # [L, B, 1] -> [B, L]
+    mean_tot = jnp.transpose(mean_tot[..., 0])
+    scale_tot = jnp.transpose(jnp.minimum(scale_tot, np.exp(7.0))[..., 0])
+    log_scale_tot = jnp.transpose(jnp.minimum(log_scale_tot, 7.0)[..., 0])
     return {
         "x": x * scale_tot + mean_tot,
         "mean_tot": mean_tot,

@@ -53,10 +53,28 @@ def make_flow_stack_fn(
     interpret: bool = False,
     compact: bool = False,
     carry_dtype=None,
+    cond_features: int = 0,
+    time_major: bool = False,
 ):
     """Build fn(x [B, L, W] f32, cond [B, L, NL*W] f32, w_tap [NL, 3, W, W],
     b [NL, W], w_res [NL, m, W], b_res [NL, W]) -> l_out [B, L, W] f32
     (the residual stream AFTER the last layer — flow out-heads read it).
+
+    cond_features=DW switches the conditioning input from the precomputed
+    [B, L, NL*W] stream to the raw deconv encoding [B, L, DW]: the
+    per-layer mel-cond 1x1s run INSIDE the kernel as [tile*B, DW] x
+    [DW, W] matmuls against an extra w_cond [NL, DW, W] argument (signature
+    becomes fn(x, enc, w_tap, b_plus_bcond, w_res, b_res, w_cond)).
+    Measured motivation (round-4 device profile at B=16/4 s): the
+    precomputed-stream path spent 47 ms in pure cond-layout copies plus the
+    einsum's f32 HBM round trip — more than the 46 ms the kernel itself
+    took; in-kernel cond replaces all of it with one bf16 enc-tile read,
+    and K=DW=256 drives the MXU harder than the K=64 taps.
+
+    time_major: fn takes x [L, B, W] (already time-major, f32) and cond
+    [L, B, ...] (already in cond_dt) and returns [L, B, W] — callers that
+    chain stacks or share the encoding across flows hoist the transposes
+    instead of paying a full-stream copy per call.
 
     Causal zero history at t<0 (matches conv_ops.conv1d causal padding).
     length % tile == 0 required.
@@ -101,11 +119,14 @@ def make_flow_stack_fn(
     def kernel(*refs):
         i = 0
         x_ref = refs[i]; i += 1        # [tile, B, W] (block of [L, Bfull, W])
-        cond_ref = refs[i]; i += 1     # [tile, NL, B, W]
+        cond_ref = refs[i]; i += 1     # [tile, NL, B, W] or enc [tile, B, DW]
         wtap_ref = refs[i]; i += 1     # [NL, 3, W, W]
         b_ref = refs[i]; i += 1        # [NL, W]
         wres_ref = refs[i]; i += 1     # [NL, m, W]
         bres_ref = refs[i]; i += 1     # [NL, W]
+        wcond_ref = None
+        if cond_features:
+            wcond_ref = refs[i]; i += 1  # [NL, DW, W]
         out_ref = refs[i]; i += 1      # [tile, B, W]
         carries = refs[i : i + n_layers]  # per-layer [2*d + tile, B, W] f32
 
@@ -146,9 +167,22 @@ def make_flow_stack_fn(
                 wt[2].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+            if cond_features:
+                # bf16 only in compact mode — non-compact keeps the cond
+                # projection f32, matching the stream-mode einsum precision
+                mm_dt = jnp.bfloat16 if compact else jnp.float32
+                acc += jnp.dot(
+                    cond_ref[...].reshape(tile * B, cond_features)
+                    .astype(mm_dt),
+                    wcond_ref[li].astype(mm_dt),
+                    preferred_element_type=jnp.float32,
+                )
+                cond_li = 0.0
+            else:
+                cond_li = cond_ref[:, li]
             d_pre = (
                 acc.reshape(tile, B, W)
-                + cond_ref[:, li]
+                + cond_li
                 + b_ref[li][None, None, :]
             )
             gate = jax.nn.sigmoid(d_pre[:, :, :m]) * jnp.tanh(d_pre[:, :, m:])
@@ -173,15 +207,32 @@ def make_flow_stack_fn(
 
     in_specs = [
         pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
-        pl.BlockSpec((tile, n_layers, B, W), lambda bi, t: (t, 0, bi, 0)),
+        (
+            pl.BlockSpec((tile, B, cond_features), lambda bi, t: (t, bi, 0))
+            if cond_features
+            else pl.BlockSpec((tile, n_layers, B, W), lambda bi, t: (t, 0, bi, 0))
+        ),
         pl.BlockSpec((n_layers, 3, W, W), lambda bi, t: (0, 0, 0, 0)),
         pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)),
         pl.BlockSpec((n_layers, m, W), lambda bi, t: (0, 0, 0)),
         pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)),
     ]
+    if cond_features:
+        in_specs.append(
+            pl.BlockSpec((n_layers, cond_features, W), lambda bi, t: (0, 0, 0))
+        )
     scratch = [
         pltpu.VMEM((2 * d + tile, B, W), cdt) for d in dils
     ]
+    # the carry scratch + pipelined blocks exceed the default 16 MB scoped-
+    # VMEM budget at the full ladder on long utterances; v5e has 128 MiB of
+    # VMEM, so raise the kernel's limit (measured: B=8/tile=128/4 s needs
+    # ~20 MB) rather than shrinking tiles below their MXU-efficient sizes
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -190,20 +241,36 @@ def make_flow_stack_fn(
         out_specs=pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )
 
-    def fn(x, cond, w_tap, b, w_res, b_res):
+    def fn(x, cond, w_tap, b, w_res, b_res, w_cond=None):
         # [B, L, W] -> time-major [L, B, W] so the grid tiles the length;
         # cond [B, L, NL*W] -> [L, NL, B, W] so per-layer slices stay
-        # tile-aligned
-        xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)
-        Bf, Lc = cond.shape[0], cond.shape[1]
-        ct = jnp.transpose(
-            cond.reshape(Bf, Lc, n_layers, W), (1, 2, 0, 3)
-        ).astype(cond_dt)
+        # tile-aligned; in enc mode cond is the raw encoding [B, L, DW] ->
+        # [L, B, DW] and w_cond [NL, DW, W] rides along
+        if time_major:
+            xt, ct = x, cond.astype(cond_dt)
+            assert cond_features or n_layers == 1, (
+                "time_major stream mode would need [L, NL, B, W] cond"
+            )
+        else:
+            xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)
+            Bf, Lc = cond.shape[0], cond.shape[1]
+            if cond_features:
+                ct = jnp.transpose(cond, (1, 0, 2)).astype(cond_dt)
+            else:
+                ct = jnp.transpose(
+                    cond.reshape(Bf, Lc, n_layers, W), (1, 2, 0, 3)
+                ).astype(cond_dt)
+        if cond_features:
+            assert w_cond is not None
+            extra = (w_cond.astype(w_dt),)
+        else:
+            extra = ()
         out = call(xt, ct, w_tap.astype(w_dt), b.astype(jnp.float32),
-                   w_res.astype(w_dt), b_res.astype(jnp.float32))
-        return jnp.transpose(out, (1, 0, 2))
+                   w_res.astype(w_dt), b_res.astype(jnp.float32), *extra)
+        return out if time_major else jnp.transpose(out, (1, 0, 2))
 
     return fn
 

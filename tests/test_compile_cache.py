@@ -20,16 +20,42 @@ def test_hydrate_copies_missing_entries(tmp_path, monkeypatch):
     (warm / "jit_a-123-cache").write_bytes(b"AAA")
     (warm / "jit_b-456-cache").write_bytes(b"BBB")
     monkeypatch.setattr(cc, "WARM_CACHE_DIR", str(warm))
+    cc.write_manifest(str(warm))
 
     n = cc.hydrate_warm_cache(str(live))
     assert n == 2
     assert (live / "jit_a-123-cache").read_bytes() == b"AAA"
+    assert not (live / cc.MANIFEST_NAME).exists()
 
     # existing entries are never overwritten
     (live / "jit_a-123-cache").write_bytes(b"LIVE")
     n = cc.hydrate_warm_cache(str(live))
     assert n == 0
     assert (live / "jit_a-123-cache").read_bytes() == b"LIVE"
+
+
+def test_hydrate_verifies_checksums(tmp_path, monkeypatch):
+    """Entries are executable blobs JAX deserializes — tampered or
+    unmanifested entries must be skipped, and no manifest means nothing
+    hydrates (round-3 advisor finding)."""
+    warm = tmp_path / "warm"
+    warm.mkdir()
+    (warm / "jit_a-123-cache").write_bytes(b"AAA")
+    monkeypatch.setattr(cc, "WARM_CACHE_DIR", str(warm))
+
+    # no manifest at all -> nothing copied
+    assert cc.hydrate_warm_cache(str(tmp_path / "l0")) == 0
+
+    cc.write_manifest(str(warm))
+    # tampered after manifesting -> skipped
+    (warm / "jit_a-123-cache").write_bytes(b"EVIL")
+    assert cc.hydrate_warm_cache(str(tmp_path / "l1")) == 0
+    # restored content -> hydrates
+    (warm / "jit_a-123-cache").write_bytes(b"AAA")
+    assert cc.hydrate_warm_cache(str(tmp_path / "l2")) == 1
+    # a new entry absent from the manifest -> skipped
+    (warm / "jit_c-789-cache").write_bytes(b"CCC")
+    assert cc.hydrate_warm_cache(str(tmp_path / "l3")) == 1
 
 
 def test_hydrate_no_warm_dir_is_noop(tmp_path, monkeypatch):

@@ -46,6 +46,48 @@ def test_flow_stack_matches_conv_reference(n_layers, num_stages, tile, L):
     assert np.abs(want - np.asarray(x)).max() > 0.1
 
 
+def test_flow_stack_enc_mode_matches_stream_mode():
+    """enc mode (in-kernel per-layer cond matmul, time-major interface)
+    must match stream mode fed the equivalent precomputed cond — covers
+    the round-4 serving configuration at the kernel level."""
+    n_layers, num_stages, tile, L, B, W, DW = 4, 2, 32, 128, 8, 64, 128
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, L, W).astype(np.float32) * 0.3)
+    enc = jnp.asarray(rng.randn(B, L, DW).astype(np.float32) * 0.2)
+    w_cond = jnp.asarray(rng.randn(n_layers, DW, W).astype(np.float32) * 0.05)
+    w_tap = jnp.asarray(rng.randn(n_layers, 3, W, W).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    w_res = jnp.asarray(rng.randn(n_layers, W // 2, W).astype(np.float32) * 0.1)
+    b_res = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
+    cond = jnp.concatenate(
+        [jnp.einsum("blc,cw->blw", enc, w_cond[i]) for i in range(n_layers)],
+        axis=-1,
+    )
+    want = np.asarray(
+        fk.make_flow_stack_fn(n_layers, num_stages, W, B, L, tile=tile,
+                              interpret=True)(x, cond, w_tap, b, w_res, b_res)
+    )
+    for compact in (False, True):
+        fn = fk.make_flow_stack_fn(
+            n_layers, num_stages, W, B, L, tile=tile, interpret=True,
+            compact=compact, cond_features=DW, time_major=True,
+        )
+        cdt = jnp.bfloat16 if compact else jnp.float32
+        got = np.asarray(
+            jnp.transpose(
+                fn(
+                    jnp.transpose(x, (1, 0, 2)),
+                    jnp.transpose(enc, (1, 0, 2)).astype(cdt),
+                    w_tap, b, w_res, b_res, w_cond,
+                ),
+                (1, 0, 2),
+            )
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=3e-2 if compact else 1e-4,
+                                   rtol=0)
+
+
 def test_flow_stack_batch_tiling_matches_full_batch():
     """b_tile < batch must reproduce the untiled kernel exactly: each batch
     row streams its length tiles through freshly zeroed carries."""

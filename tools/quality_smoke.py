@@ -218,9 +218,15 @@ def main_real(steps, out_dir):
     tf_loss = float(tf_fn(params, wav_crop, mel_crop))
     tf_mis = float(tf_fn(params, wav_crop, np.roll(mel_crop, 1, axis=0)))
     cond_gap = tf_mis - tf_loss
-    tf_ok = tf_loss < 4.5
+    # gate the held-out tail ALONE (window 0), not just the 4-window mean —
+    # the mean dilutes the tail 1:3 with overfit training windows, so it
+    # could sit under the uniform ceiling even if the tail didn't
+    # (round-3 advisor finding)
+    tf_held = float(tf_fn(params, wav_crop[0:1], mel_crop[0:1]))
+    tf_ok = tf_loss < 4.5 and tf_held < np.log(256)
     cond_ok = cond_gap > 0.15
-    print(f"held-out+train teacher-forced loss {tf_loss:.3f} -> {tf_ok}; "
+    print(f"held-out+train teacher-forced loss {tf_loss:.3f}, held-out tail "
+          f"alone {tf_held:.3f} (uniform {np.log(256):.2f}) -> {tf_ok}; "
           f"cond gap {cond_gap:.3f} -> {cond_ok}")
 
     audio = np.asarray(jax.jit(fg.generate)(params, mel, jax.random.PRNGKey(0)))

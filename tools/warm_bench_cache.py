@@ -20,6 +20,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 WARM = os.path.join(REPO, "benchmarks", "warm_cache")
 LIVE = os.path.join(REPO, ".jax_cache")
 # the three programs bench.py compiles (names come from the jitted
@@ -51,6 +52,8 @@ def snapshot_from_live():
     for pre, src in picks.items():
         shutil.copyfile(src, os.path.join(WARM, os.path.basename(src)))
         total += os.path.getsize(src)
+    from nsynth_wavenet_tpu.utils import compile_cache
+    compile_cache.write_manifest(WARM)
     print(f"committed-warm-cache refreshed from live cache: {len(picks)} "
           f"entries, {total / 1e6:.1f} MB -> {WARM}")
     return 0
@@ -82,6 +85,8 @@ def main():
         src = os.path.join(fresh, f)
         shutil.copyfile(src, os.path.join(WARM, f))
         total += os.path.getsize(src)
+    from nsynth_wavenet_tpu.utils import compile_cache
+    compile_cache.write_manifest(WARM)
     print(f"committed-warm-cache refreshed: {len(entries)} entries, "
           f"{total / 1e6:.1f} MB -> {WARM}")
     print("verify with a fresh process: rm -rf .jax_cache && python bench.py")
