@@ -49,7 +49,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16")
     ap.add_argument("--sec", type=float, default=4.0)
-    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--b_tile", type=int, default=8)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--profile", action="store_true",

@@ -308,6 +308,46 @@ def check_student_integrated():
     return ok
 
 
+def check_student_streaming():
+    """parallelgen.StudentStreamer (REAL streaming kernels, carried
+    dilation state across chunk calls) vs the one-shot fused path on
+    pinned base noise, on hardware — the carry export/import is exactly
+    the kind of state plumbing interpret mode can't be trusted on."""
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+    cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", num_iaf_layers=(2, 4), num_stages=2, width=64,
+        deconv_width=128, wave_length=1280, upsample_act="leaky_relu",
+        use_share_deconv=True,
+    )
+    pwn = ParallelWavenet(cfg)
+    params = pwn.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    t = np.arange(2560) / 16000.0
+    wav = np.clip(
+        0.3 * np.sin(2 * np.pi * 200 * t)[None] + 0.02 * rng.randn(8, 2560),
+        -0.99, 0.99,
+    ).astype(np.float32)
+    mel = jnp.asarray(stft.melspectrogram_np(wav))
+    L = pwn.sample_length(mel.shape[1])
+    x = pwn.base_noise(jax.random.PRNGKey(5), 8, L)
+    a = np.asarray(pwn._clip_quant_scale(parallelgen.feed_forward_pallas(
+        pwn, params, {"mel": mel, "base_x": x}, tile=64, b_tile=8,
+        interpret=False,
+    )["x"]))
+    st = parallelgen.StudentStreamer(pwn, chunk=512, tile=64, b_tile=8,
+                                     interpret=False)
+    b = st.synthesize(params, mel, base_x=np.asarray(x))
+    err = np.abs(a - b).max()
+    corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+    # bucketed any-length deconv rounds differently than the fixed stack
+    ok = corr > 0.999 and err < 0.05 and np.isfinite(b).all()
+    print(f"student_streaming: max_abs_diff {err:.4f} corr {corr:.6f} "
+          f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+    return ok
+
+
 def main():
     ok = True
     ok &= check_prng()
@@ -331,6 +371,7 @@ def main():
     ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8,
                            enc_mode=True)
     ok &= check_student_integrated()
+    ok &= check_student_streaming()
     ok &= check_golden_freerun()
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -28,9 +28,13 @@ if __name__ == "__main__":
     parser.add_argument("--pallas", action="store_true",
                         help="serve through the fused flow-stack Pallas "
                              "kernel (models/parallelgen.synthesize_pallas)")
+    parser.add_argument("--streaming_chunk", default=None, type=int,
+                        help="with --pallas: stream the flows in chunks of "
+                             "this many samples with carried state — one "
+                             "compiled program serves any utterance length")
     args = parser.parse_args()
     evaluation.generate_parallel_wavenet(
         args.source_path, args.ckpt_dir, args.save_path, args.batch_size,
         args.seed, sample_length=args.sample_length, npy_only=args.npy_only,
-        use_pallas=args.pallas,
+        use_pallas=args.pallas, streaming_chunk=args.streaming_chunk,
     )

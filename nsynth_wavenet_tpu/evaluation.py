@@ -216,13 +216,18 @@ def generate_wavenet(
 def generate_parallel_wavenet(
     source_path, ckpt_dir, save_path, batch_size=4, seed=0,
     sample_length=-1, npy_only=False, use_pallas=False,
+    streaming_chunk=None,
 ):
     """One-shot student synthesis with the Delay metric
     (reference eval_parallel_wavenet.py + parallelgen.py:43-50).
 
     use_pallas: run the flow trunks through the fused Pallas kernel
     (parallelgen.synthesize_pallas) — the fast serving path; the batch is
-    padded to a multiple of the kernel's batch tile."""
+    padded to a multiple of the kernel's batch tile.
+    streaming_chunk: with use_pallas, stream the flows chunk-by-chunk with
+    carried dilation state (parallelgen.StudentStreamer) so ONE compiled
+    program serves every utterance length in the batch set (otherwise
+    each distinct (batch, padded-length) pays a compile)."""
     import jax
 
     from nsynth_wavenet_tpu.models import parallelgen
@@ -231,6 +236,11 @@ def generate_parallel_wavenet(
     model, params = load_eval_model(ckpt_dir)
     os.makedirs(save_path, exist_ok=True)
     files = discover_files(source_path, npy_only)
+    streamer = None
+    if streaming_chunk:
+        assert use_pallas, "--streaming_chunk needs --pallas"
+        chunk = -(-streaming_chunk // 256) * 256  # kernel tile alignment
+        streamer = parallelgen.StudentStreamer(model, chunk=chunk, tile=256)
     if use_pallas:
         synth = synth_sharded = parallelgen.jit_synthesize_pallas(model)
     else:
@@ -247,10 +257,15 @@ def generate_parallel_wavenet(
             # pad to the kernel's b_tile so the batch grid divides evenly
             mel = np.pad(mel, ((0, -mel.shape[0] % 8), (0, 0), (0, 0)))
         t0 = time.time()
-        fn = synth_sharded if mel.shape[0] == batch_size else synth
-        audio = np.asarray(fn(params, mel, jax.random.PRNGKey(seed + i)))[
-            : len(chunk)
-        ]
+        if streamer is not None:
+            audio = streamer.synthesize(
+                params, mel, rng=jax.random.PRNGKey(seed + i)
+            )[: len(chunk)]
+        else:
+            fn = synth_sharded if mel.shape[0] == batch_size else synth
+            audio = np.asarray(fn(params, mel, jax.random.PRNGKey(seed + i)))[
+                : len(chunk)
+            ]
         dt = time.time() - t0
         audio_sec = audio.shape[0] * audio.shape[1] / 16000.0
         log.info(

@@ -14,10 +14,13 @@ Two compute paths:
   * fused Pallas (`feed_forward_pallas` / `synthesize_pallas`): each flow's
     dilated trunk runs as chained ops/flow_kernel stack calls (one per
     num_stages-layer dilation cycle) with all inter-layer activations in
-    VMEM; the per-layer mel-cond 1x1s are precomputed as one dense matmul
-    from the shared deconv encoding; start conv, out heads and the f32 flow
-    composition stay in XLA (elementwise streams XLA fuses fine —
-    docs/student_kernel_plan.md).
+    VMEM and the per-layer mel-cond 1x1s computed IN-KERNEL from the raw
+    deconv encoding; the whole path is time-major so HBM sees no layout
+    copies; start conv, out heads and the f32 flow composition stay in
+    XLA (elementwise streams XLA fuses fine — docs/student_kernel_plan.md).
+  * streaming (`StudentStreamer`): the fused path chunk-by-chunk with
+    carried dilation state — ONE compiled program serves any utterance
+    length (the AR path's generate_streaming design).
 """
 
 import jax
@@ -158,7 +161,7 @@ def feed_forward_pallas(
     inputs,
     rng=None,
     *,
-    tile: int = 128,
+    tile: int = 256,
     b_tile: int = 8,
     interpret: bool = None,
     compact: bool = None,
@@ -167,8 +170,9 @@ def feed_forward_pallas(
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
 
-    tile/b_tile: length/batch tiles of the kernel grid.  Defaults sized for
-    the full student ladder (d<=512) at the kernel's raised VMEM budget.
+    tile/b_tile: length/batch tiles of the kernel grid.  Defaults are the
+    round-4 sweep optimum at the full student ladder (tile 256 beats 128
+    by ~3-6% and 512 by ~13%; b_tile 16 loses ~6-11% to 8 — RESULTS.md).
     interpret: None = auto (real kernel on TPU, interpreter elsewhere so
     the same serving entry point runs in CPU tests/drives).
     compact: bf16 enc stream + bf16 weight storage in the kernel.  None =
@@ -248,6 +252,293 @@ def synthesize_pallas(pwn: ParallelWavenet, params, mel, rng, **kw):
     """Fused-Pallas twin of `synthesize` (same mel -> audio contract)."""
     ff = feed_forward_pallas(pwn, params, {"mel": mel}, rng, **kw)
     return pwn._clip_quant_scale(ff["x"])
+
+
+class StudentStreamer:
+    """Variable-length one-shot IAF serving from ONE compiled program.
+
+    The non-streaming paths compile per (batch, padded-length) — on this
+    backend a minutes-scale cost per distinct shape, which the reference
+    also pays (it rebuilds its graph per utterance length,
+    reference wavenet/parallelgen.py:11-19).  This applies the AR path's
+    streaming design (models/fastgen.py generate_streaming /
+    generate_pallas chunk mode) to the student: the mel is deconv-encoded
+    through a length-agnostic bucketed program, and the flow trunks run
+    chunk-by-chunk through streaming flow-stack kernels
+    (ops/flow_kernel.py streaming=True) that carry the dilation history
+    across calls — chunk boundaries land on tile boundaries, so the
+    chunked run is numerically identical to the one-shot kernel on the
+    same base noise.  Cross-chunk state per flow: the packed trunk
+    carries plus the last 3 input samples (shift_right + filter-3 start
+    conv window); the out heads and flow composition are pointwise/1x1
+    and need no history.
+
+    Base noise is drawn per chunk (rng folded with the chunk index), so
+    audio differs from the one-shot path's full-length draw by noise
+    realization only; pass base_x to pin the noise (tests do, for exact
+    cross-path comparison).
+
+    Dispatch discipline (this backend's tunnel makes every host->device
+    call ~tens of ms, so each one is cached or hoisted): weight stacking
+    is ONE jitted program cached by params identity, the zero state is
+    cached, the noise draw runs inside the chunk program, chunks stay on
+    device until one final fetch.  Measured (B=16, 4 s, chunk=32768):
+    loop+device 156 ms vs the one-shot path's ~134 ms — ~15% streaming
+    overhead for any-length serving from one compile (RESULTS.md round 4).
+    """
+
+    def __init__(self, pwn: ParallelWavenet, *, chunk: int = 32768,
+                 tile: int = 256, b_tile: int = 8, mel_bucket: int = 64,
+                 interpret: bool = None, compact: bool = None):
+        import jax.numpy as jnp
+
+        assert chunk % tile == 0, (chunk, tile)
+        self.pwn = pwn
+        self.chunk = chunk
+        self.tile = tile
+        self.b_tile = b_tile
+        self.mel_bucket = mel_bucket
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        if compact is None:
+            compact = pwn.dtype == jnp.bfloat16
+        self.compact = compact
+        self._chunk_fn_cache = {}
+        self._deconv_cache = {}
+        self._stacked_cache = None
+        self._aux_cache = {}
+
+    # -- length-agnostic deconv encode (one compile per mel bucket count) --
+
+    def _bucketed_enc(self, dp, mel):
+        cfg = self.pwn.cfg
+        B, T, _ = mel.shape
+        T_pad = -(-T // self.mel_bucket) * self.mel_bucket
+        # the chunk grid may read up to chunk-1 samples past the trimmed
+        # region; make sure the padded encoding covers it
+        while T_pad * cfg.frame_shift < T * cfg.frame_shift + self.chunk:
+            T_pad += self.mel_bucket
+        if T_pad > T:
+            mel = jnp.pad(mel, ((0, 0), (0, T_pad - T), (0, 0)))
+        key = (B, T_pad)
+        fn = self._deconv_cache.get(key)
+        if fn is None:
+            cond_dt = jnp.bfloat16 if self.compact else jnp.float32
+
+            def encode(dp, m, n):
+                enc = wavenet_lib.apply_deconv_stack_any_length(
+                    dp, m, n,
+                    deconv_config=cfg.deconv_config,
+                    upsample_act=cfg.upsample_act,
+                    use_resize_conv=cfg.use_resize_conv,
+                    dtype=self.pwn.dtype,
+                )
+                # time-major + kernel cond dtype, once per utterance batch
+                return jnp.transpose(enc, (1, 0, 2)).astype(cond_dt)
+
+            fn = jax.jit(encode)
+            self._deconv_cache[key] = fn
+        return fn(dp, mel, jnp.int32(T))
+
+    def _flow_encs(self, params, mel):
+        """Returns (unique encodings, per-flow index into them) — shared
+        deconv yields one encoding, so per-chunk slicing/DMA happens once."""
+        cfg = self.pwn.cfg
+        if cfg.use_share_deconv or cfg.use_teacher_deconv:
+            enc = self._bucketed_enc(params["deconv_share"], mel)
+            return [enc], [0] * self.pwn.num_flows
+        encs = [
+            self._bucketed_enc(fp["deconv"], mel) for fp in params["flows"]
+        ]
+        return encs, list(range(self.pwn.num_flows))
+
+    # -- the per-chunk program (one compile per (batch, chunk)) -----------
+
+    def _stack_all(self, params):
+        """Per-flow kernel-layout weights (resolving weight norm) + head
+        params.  Jitted into ONE program and cached by params identity:
+        eager stacking is ~400 tiny ops, each a separate dispatch through
+        this backend's tunnel (measured to dominate streaming wall time)."""
+        cached = self._stacked_cache
+        if cached is not None and cached[0] is params:
+            return cached[1]
+
+        def stack(params):
+            flows = []
+            for fp in params["flows"]:
+                sw = flow_kernel_ops.stack_flow_weights(fp)
+                sw = dict(sw, b_eff=sw["b"] + sw["b_cond"],
+                          w_start=conv_ops.effective_kernel(fp["start_conv"]),
+                          b_start=fp["start_conv"]["b"],
+                          heads={k: fp[k] for k in
+                                 ("out1", "mel_cond_out1", "out2_mean",
+                                  "out2_scale")})
+                flows.append(sw)
+            return flows
+
+        stacked = jax.jit(stack)(params)
+        self._stacked_cache = (params, stacked)
+        return stacked
+
+    def init_state(self, batch):
+        # cached: the zero state is immutable and identical every call, and
+        # each jnp.zeros is otherwise a separate dispatch through the
+        # tunnel (chunk calls donate nothing — state updates are fresh
+        # outputs, so reusing the zeros is safe)
+        cached = self._aux_cache.get(("state0", batch))
+        if cached is not None:
+            return cached
+        cfg = self.pwn.cfg
+        state = []
+        for fi in range(self.pwn.num_flows):
+            groups = []
+            n_layers = cfg.num_iaf_layers[fi]
+            for s in range(0, n_layers, cfg.num_stages):
+                nl = min(cfg.num_stages, n_layers - s)
+                rows = sum(
+                    2 * 2 ** (i % cfg.num_stages) for i in range(s, s + nl)
+                )
+                groups.append(
+                    jnp.zeros((rows, batch, cfg.width), jnp.float32)
+                )
+            state.append({
+                "xh": jnp.zeros((3, batch, 1), jnp.float32),
+                "trunk": groups,
+            })
+        self._aux_cache[("state0", batch)] = state
+        return state
+
+    def _make_chunk_fn(self, B, enc_idx, use_noise):
+        pwn, cfg = self.pwn, self.pwn.cfg
+        C, W = self.chunk, cfg.width
+        dtype = pwn.dtype or jnp.float32
+        # Mosaic batch-tile rule (see make_flow_stack_fn): largest allowed
+        # divisor of B — same resolution as feed_forward_pallas
+        cands = [bt for bt in range(8, B + 1, 8)
+                 if B % bt == 0 and bt <= self.b_tile]
+        b_tile = max(cands) if cands else B
+
+        def chunk_step(stacked, x_tm, rng, ci, encs, state):
+            """x_tm [C, B, 1] f32 base-noise chunk (or None: drawn in-
+            program from (rng, ci)); encs: unique [C, B, DW] chunks
+            indexed by the static enc_idx; returns (audio [C, B],
+            new_state)."""
+            if use_noise:
+                x_tm = jnp.transpose(
+                    pwn.base_noise(jax.random.fold_in(rng, ci), B, C)
+                )[..., None]
+            new_state = []
+            iaf_x = x_tm
+            mean_tot, scale_tot, log_scale_tot = 0.0, 1.0, 0.0
+            for fi in range(pwn.num_flows):
+                sw = stacked[fi]
+                st = state[fi]
+                enc_tm = encs[enc_idx[fi]]
+                n_layers = cfg.num_iaf_layers[fi]
+
+                # start conv with the carried 3-sample window
+                xh = jnp.concatenate([st["xh"], iaf_x], axis=0)  # [C+3,B,1]
+                l = sum(
+                    xh[k : k + C] * sw["w_start"][k, 0][None, None, :]
+                    for k in range(3)
+                ) + sw["b_start"]
+                new_xh = xh[-3:]
+
+                new_groups = []
+                gi = 0
+                for s in range(0, n_layers, cfg.num_stages):
+                    nl = min(cfg.num_stages, n_layers - s)
+                    fn = flow_kernel_ops.make_flow_stack_fn(
+                        nl, cfg.num_stages, W, B, C,
+                        tile=self.tile, b_tile=b_tile,
+                        interpret=self.interpret, compact=self.compact,
+                        cond_features=enc_tm.shape[-1], time_major=True,
+                        streaming=True,
+                    )
+                    l, g = fn(
+                        l, enc_tm,
+                        sw["w_tap"][s : s + nl], sw["b_eff"][s : s + nl],
+                        sw["w_res"][s : s + nl], sw["b_res"][s : s + nl],
+                        sw["w_cond"][s : s + nl], st["trunk"][gi],
+                    )
+                    new_groups.append(g)
+                    gi += 1
+                new_state.append({"xh": new_xh, "trunk": new_groups})
+
+                heads = sw["heads"]
+                l = jax.nn.relu(l.astype(dtype))
+                l = _mm_1x1(heads["out1"], l, dtype, dtype)
+                c = _mm_1x1(heads["mel_cond_out1"], enc_tm, dtype, dtype)
+                l = jax.nn.relu(l + c)
+                mean = _mm_1x1(heads["out2_mean"], l, dtype)
+                scale_params = _mm_1x1(heads["out2_scale"], l, dtype)
+                scale, log_scale = pwn.scale_log_scale(scale_params)
+                iaf_x = iaf_x * scale + mean
+                mean_tot = mean + mean_tot * scale
+                scale_tot = scale_tot * scale
+                log_scale_tot = log_scale_tot + log_scale
+
+            mean_tot = mean_tot[..., 0]
+            scale_tot = jnp.minimum(scale_tot, np.exp(7.0))[..., 0]
+            audio = pwn._clip_quant_scale(x_tm[..., 0] * scale_tot + mean_tot)
+            return audio, new_state
+
+        return jax.jit(chunk_step)
+
+    # -- driver -----------------------------------------------------------
+
+    def synthesize(self, params, mel, rng=None, base_x=None):
+        """mel [B, T, num_mel] -> audio [B, L] (L snapped like the
+        one-shot path).  No outer jit: the chunk loop stays host-side so
+        the single compiled (batch, chunk) program serves any length."""
+        cfg = self.pwn.cfg
+        B, T, _ = mel.shape
+        L = self.pwn.sample_length(T)
+        mel = jnp.asarray(mel)
+        encs, enc_idx = self._flow_encs(params, mel)
+        left = jnp.int32((T * cfg.frame_shift - L) // 2)
+        stacked = self._stack_all(params)
+
+        use_noise = base_x is None
+        key = (B, use_noise)
+        fn = self._chunk_fn_cache.get(key)
+        if fn is None:
+            fn = self._make_chunk_fn(B, tuple(enc_idx), use_noise)
+            self._chunk_fn_cache[key] = fn
+
+        if base_x is not None:
+            assert base_x.shape == (B, L), (base_x.shape, (B, L))
+            base_x = jnp.asarray(base_x)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        C = self.chunk
+        n_chunks = -(-L // C)
+        state = self.init_state(B)
+        outs = []
+        for ci in range(n_chunks):
+            if base_x is None:
+                x_c = None
+            else:
+                # pad the final slice from the pinned noise (values past L
+                # are discarded below)
+                x_c = jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(base_x, ((0, 0), (0, n_chunks * C - L))),
+                    ci * C, C, axis=1,
+                )
+                x_c = jnp.transpose(x_c)[..., None]
+            enc_cs = [
+                jax.lax.dynamic_slice_in_dim(e, left + ci * C, C, axis=0)
+                for e in encs
+            ]
+            audio, state = fn(stacked, x_c, rng, jnp.int32(ci), enc_cs, state)
+            # keep chunks ON DEVICE: a per-chunk np.asarray would serialize
+            # the loop on the host round trip (measured 27 vs ~300
+            # audio-sec/s/chip through the debug tunnel) — dispatch is
+            # async, so un-fetched chunks pipeline on the device
+            outs.append(audio)
+        return np.asarray(jnp.concatenate(outs, axis=0)[:L]).T
 
 
 def jit_synthesize_pallas(pwn: ParallelWavenet, **kw):

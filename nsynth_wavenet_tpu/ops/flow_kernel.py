@@ -55,6 +55,7 @@ def make_flow_stack_fn(
     carry_dtype=None,
     cond_features: int = 0,
     time_major: bool = False,
+    streaming: bool = False,
 ):
     """Build fn(x [B, L, W] f32, cond [B, L, NL*W] f32, w_tap [NL, 3, W, W],
     b [NL, W], w_res [NL, m, W], b_res [NL, W]) -> l_out [B, L, W] f32
@@ -99,6 +100,16 @@ def make_flow_stack_fn(
     bf16-matmul tolerance, and interpret mode is correct in both dtypes) —
     so compact mode defaults the carries to f32 and only the cond stream
     drops to bf16.  Revisit if a backend update fixes the relayout.
+
+    streaming: carry the dilation history ACROSS calls so ONE compiled
+    program of (batch, length=chunk) serves any utterance length (the AR
+    kernel's streaming design, models/fastgen.py generate_streaming,
+    applied to the one-shot student).  fn gains a trailing `state`
+    argument and returns (l_out, new_state): state is the packed f32
+    [sum(2*d), Bfull, W] history (layer i owns rows off_i : off_i+2*d_i),
+    zeros == the fresh causal-zero history.  Chunk boundaries land on
+    tile boundaries, so chaining chunk calls is numerically identical to
+    one long call (the kernel does the same per-tile math either way).
     """
     assert length % tile == 0
     if not b_tile:
@@ -127,18 +138,30 @@ def make_flow_stack_fn(
         wcond_ref = None
         if cond_features:
             wcond_ref = refs[i]; i += 1  # [NL, DW, W]
+        state_ref = None
+        if streaming:
+            state_ref = refs[i]; i += 1  # [sum(2d), B, W] f32
         out_ref = refs[i]; i += 1      # [tile, B, W]
+        state_out_ref = None
+        if streaming:
+            state_out_ref = refs[i]; i += 1  # [sum(2d), B, W] f32
         carries = refs[i : i + n_layers]  # per-layer [2*d + tile, B, W] f32
 
         t0 = pl.program_id(1)
+        offs = np.concatenate([[0], np.cumsum([2 * d for d in dils])])
 
-        # zero the carries at utterance start (causal zero history) — the
-        # length grid dim is innermost, so this also re-zeros them when the
+        # load (streaming) or zero (one-shot) the carries at chunk start —
+        # the length grid dim is innermost, so this also reruns when the
         # grid advances to the next batch tile
         @pl.when(t0 == 0)
         def _init():
             for li in range(n_layers):
-                carries[li][...] = jnp.zeros_like(carries[li])
+                if streaming:
+                    carries[li][0 : 2 * dils[li]] = state_ref[
+                        offs[li] : offs[li + 1]
+                    ].astype(cdt)
+                else:
+                    carries[li][...] = jnp.zeros_like(carries[li])
 
         l = x_ref[...]  # [tile, B, W] f32
         for li in range(n_layers):
@@ -202,6 +225,13 @@ def make_flow_stack_fn(
             for off in range(0, 2 * d, step):
                 n = min(step, 2 * d - off)
                 buf[off : off + n] = buf[tile + off : tile + off + n]
+            if streaming:
+                # post-slide rows 0:2d ARE the history the next chunk needs
+                @pl.when(t0 == length // tile - 1)
+                def _export(li=li, d=d, buf=buf):
+                    state_out_ref[offs[li] : offs[li + 1]] = buf[
+                        0 : 2 * d
+                    ].astype(jnp.float32)
             l = l + res
         out_ref[...] = l
 
@@ -221,6 +251,11 @@ def make_flow_stack_fn(
         in_specs.append(
             pl.BlockSpec((n_layers, cond_features, W), lambda bi, t: (0, 0, 0))
         )
+    sum2d = int(sum(2 * d for d in dils))
+    if streaming:
+        in_specs.append(
+            pl.BlockSpec((sum2d, B, W), lambda bi, t: (0, bi, 0))
+        )
     scratch = [
         pltpu.VMEM((2 * d + tile, B, W), cdt) for d in dils
     ]
@@ -233,18 +268,29 @@ def make_flow_stack_fn(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
+    out_shape = jax.ShapeDtypeStruct((length, batch, W), jnp.float32)
+    out_specs = pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0))
+    if streaming:
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((sum2d, batch, W), jnp.float32),
+        ]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((sum2d, B, W), lambda bi, t: (0, bi, 0)),
+        ]
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_shape=jax.ShapeDtypeStruct((length, batch, W), jnp.float32),
-        out_specs=pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )
 
-    def fn(x, cond, w_tap, b, w_res, b_res, w_cond=None):
+    def fn(x, cond, w_tap, b, w_res, b_res, w_cond=None, state=None):
         # [B, L, W] -> time-major [L, B, W] so the grid tiles the length;
         # cond [B, L, NL*W] -> [L, NL, B, W] so per-layer slices stay
         # tile-aligned; in enc mode cond is the raw encoding [B, L, DW] ->
@@ -268,10 +314,20 @@ def make_flow_stack_fn(
             extra = (w_cond.astype(w_dt),)
         else:
             extra = ()
+        if streaming:
+            assert state is not None, "streaming mode needs the carry state"
+            extra = extra + (state.astype(jnp.float32),)
         out = call(xt, ct, w_tap.astype(w_dt), b.astype(jnp.float32),
                    w_res.astype(w_dt), b_res.astype(jnp.float32), *extra)
+        if streaming:
+            out, new_state = out
+            return (
+                out if time_major else jnp.transpose(out, (1, 0, 2)),
+                new_state,
+            )
         return out if time_major else jnp.transpose(out, (1, 0, 2))
 
+    fn.state_rows = sum2d
     return fn
 
 

@@ -44,7 +44,6 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
     }[weight_dtype]
 
     model, params = evaluation.load_eval_model(ckpt_dir)
-    fg = Fastgen(model)
     sr = 16000
 
     # held-out long utterances (seed disjoint from the smoke's train corpus);
@@ -55,21 +54,38 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
     )
     mel = stft.melspectrogram_np(wavs)
 
-    act_amax = None
-    if weight_dtype == "int8_static":
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+    if isinstance(model, ParallelWavenet):
+        # student run: stream the one-shot IAF path instead
+        # (parallelgen.StudentStreamer — same cross-chunk-state design);
+        # weight_dtype does not apply (the flow kernel is bf16-compact)
         import jax
 
-        cal = wavs[:, :sr]  # 1 s calibration slice of the held-out audio
-        act_amax = jax.jit(fg.calibrate_act_amax)(
-            params, jnp.asarray(cal), jnp.asarray(stft.melspectrogram_np(cal))
-        )
+        from nsynth_wavenet_tpu.models.parallelgen import StudentStreamer
 
-    audio = np.asarray(
-        fg.generate_pallas(
-            params, mel, seed=0, weight_dtype=wd, chunk=chunk,
-            act_amax=act_amax, gate_static=act_amax is not None,
+        chunk = -(-chunk // 256) * 256  # kernel tile alignment
+        streamer = StudentStreamer(model, chunk=chunk, tile=256)
+        audio = streamer.synthesize(params, mel, rng=jax.random.PRNGKey(0))
+        weight_dtype = "student-flow"
+    else:
+        fg = Fastgen(model)
+        act_amax = None
+        if weight_dtype == "int8_static":
+            import jax
+
+            cal = wavs[:, :sr]  # 1 s calibration slice of the held-out audio
+            act_amax = jax.jit(fg.calibrate_act_amax)(
+                params, jnp.asarray(cal),
+                jnp.asarray(stft.melspectrogram_np(cal)),
+            )
+
+        audio = np.asarray(
+            fg.generate_pallas(
+                params, mel, seed=0, weight_dtype=wd, chunk=chunk,
+                act_amax=act_amax, gate_static=act_amax is not None,
+            )
         )
-    )
 
     os.makedirs(out_dir, exist_ok=True)
     L = min(audio.shape[1], wavs.shape[1])

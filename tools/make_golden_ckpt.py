@@ -129,31 +129,139 @@ def eval_mels(n=4):
 
 def load_golden(directory=GOLDEN_DIR):
     """Returns (model, params, meta) from the committed artifact.
-    ``directory`` may be a path or a head name."""
-    from nsynth_wavenet_tpu.models.wavenet import Wavenet
-
+    ``directory`` may be a path, a head name, or 'student' (the committed
+    IAF student — returns a ParallelWavenet)."""
     import jax
 
     if directory in HEADS:
         directory = golden_dir(directory)
+    elif directory == "student":
+        directory = student_dir()
     meta = json.load(open(os.path.join(directory, "meta.json")))
     from nsynth_wavenet_tpu import config as config_lib
 
-    cfg = config_lib.wavenet_config_from_dict(meta["config"])
-    model = Wavenet(cfg)
+    if meta.get("student"):
+        from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+
+        cfg = config_lib.pwn_config_from_dict(meta["config"])
+        model = ParallelWavenet(cfg)
+    else:
+        from nsynth_wavenet_tpu.models.wavenet import Wavenet
+
+        cfg = config_lib.wavenet_config_from_dict(meta["config"])
+        model = Wavenet(cfg)
     template = model.init_params(jax.random.PRNGKey(0))
     stored = dict(np.load(os.path.join(directory, "params.npz")))
     params = unflatten_params(template, dequantize_flat(stored))
     return model, params, meta
 
 
+def student_dir() -> str:
+    return os.path.join(_GOLDEN_ROOT, "tiny_student")
+
+
+def student_available() -> bool:
+    return os.path.exists(os.path.join(student_dir(), "meta.json"))
+
+
+def make_student_golden(steps, batch, workdir):
+    """Distill a Gaussian IAF student from a freshly trained gauss teacher
+    on the pseudo-speech corpus and commit it as tests/golden/tiny_student
+    — the trained-weights artifact for one-shot serving regression gates
+    (XLA + fused-Pallas + streaming) and the student longform check.
+    Mirrors the reference's committed per-config generations
+    (tests/pred_data-*, Readme.md:93-107) for the student side."""
+    import jax
+
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+    from nsynth_wavenet_tpu.training import runner
+    from tools.quality_smoke import (
+        GAUSS_TEACHER_CFG, STUDENT_CFG, make_speech_corpus, mel_track_corr,
+    )
+
+    os.makedirs(workdir, exist_ok=True)
+    ds_dir = os.path.join(workdir, "ds")
+    if not os.path.exists(os.path.join(ds_dir, "index.json")):
+        make_speech_corpus(ds_dir)
+
+    te_cfg_path = os.path.join(workdir, "golden_te_gauss.json")
+    with open(te_cfg_path, "wt") as f:
+        json.dump(dict(GAUSS_TEACHER_CFG, num_iters=steps), f)
+    te_dir, _ = runner.train_wavenet(
+        train_path=ds_dir, config_path=te_cfg_path,
+        log_root=os.path.join(workdir, "runs"),
+        total_batch_size=batch, ckpt_every_steps=10000,
+    )
+
+    st_cfg = dict(STUDENT_CFG, num_iters=steps)
+    st_cfg_path = os.path.join(workdir, "golden_student.json")
+    with open(st_cfg_path, "wt") as f:
+        json.dump(st_cfg, f)
+    st_dir, st_state = runner.train_parallel_wavenet(
+        train_path=ds_dir, teacher_dir=te_dir, config_path=st_cfg_path,
+        log_root=os.path.join(workdir, "runs"),
+        total_batch_size=4, ckpt_every_steps=10000,
+    )
+
+    # round-trip through the committed int8 storage BEFORE measuring
+    from nsynth_wavenet_tpu import config as config_lib
+
+    flat = flatten_params(jax.device_get(st_state["ema"]))
+    stored = quantize_flat(flat)
+    pwn = ParallelWavenet(config_lib.pwn_config_from_dict(st_cfg))
+    params = unflatten_params(pwn.init_params(jax.random.PRNGKey(0)),
+                              dequantize_flat(stored))
+
+    mels, _ = eval_mels(n=len(METRIC_SEEDS))
+    audio = np.asarray(jax.jit(
+        lambda p, m: parallelgen.synthesize(pwn, p, m, jax.random.PRNGKey(7))
+    )(params, jnp_asarray(mels)))
+    m_corr, mm_corr = mel_track_corr(audio, mels, GEN_SAMPLES)
+    print(f"golden student one-shot tracking: matched {m_corr:.3f} vs "
+          f"mismatched {mm_corr:.3f}")
+    assert m_corr > mm_corr + 0.1, "golden student does not track conditioning"
+
+    out_dir = student_dir()
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(out_dir, "params.npz"), **stored)
+    meta = {
+        "config": st_cfg,
+        "student": True,
+        "pairing": "gauss",
+        "train_steps": steps,
+        "teacher": dict(GAUSS_TEACHER_CFG, num_iters=steps),
+        "corpus": "data/synthetic.py make_speechlike_corpus(seed=0)",
+        "eval_seeds": list(METRIC_SEEDS),
+        "batch_pad_seeds": list(PAD_SEEDS),
+        "gen_samples": GEN_SAMPLES,
+        "matched_corr": round(m_corr, 4),
+        "mismatched_corr": round(mm_corr, 4),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "wt") as f:
+        json.dump(meta, f, indent=2)
+    size = os.path.getsize(os.path.join(out_dir, "params.npz")) / 1e6
+    print(f"wrote {out_dir} ({size:.1f} MB), runs {te_dir} / {st_dir}")
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--head", default="ce", choices=list(HEADS))
+    ap.add_argument("--student", action="store_true",
+                    help="distill + commit the tiny_student golden instead")
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workdir", default="/tmp/golden_ckpt")
     args = ap.parse_args()
+
+    if args.student:
+        return make_student_golden(args.steps, args.batch, args.workdir)
 
     import jax
 
