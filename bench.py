@@ -47,11 +47,12 @@ import time
 import numpy as np
 
 SR = 16000
-# measured optimum under VMEM limits (benchmarks/batch_sweep_ar.py int8s,
-# round-3): the v4 static scales freed enough VMEM for B=640 (207 vs 182
-# audio-sec/s at 512 in the same window); B=768 compiles but VMEM-spills
-# to 2346 us/step
-BATCH = 640
+# measured optimum (benchmarks/batch_sweep_ar.py int8s): round-3 shipped
+# B=640; round-4 raised the kernel's scoped-VMEM limit (the B=768+
+# "spill" was the 16 MB default, not physical VMEM), unlocking B=896 at
+# +4.4% throughput over 640 in an interleaved A/B (251.8 vs 241.2
+# audio-sec/s; B=1024 still fails to compile)
+BATCH = 896
 REPS = 5
 
 

@@ -820,7 +820,12 @@ def make_generate_fn(
             out_specs=tuple(out_specs),
             scratch_shapes=scratch,
             input_output_aliases={lbuf_arg_index: 1},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            # vmem_limit raised from the 16 MB default: B=768 int8-static
+            # "VMEM-spills" (round-3 sweep) were the scoped limit, not the
+            # physical 128 MiB — same knob as ops/flow_kernel.py
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )
 

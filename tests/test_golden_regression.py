@@ -112,3 +112,58 @@ def test_golden_pallas_teacher_forced_parity(head):
         got = outp[:, :, : cfg.out_width]
     scale = max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=0)
+
+
+# -- student golden (tests/golden/tiny_student, make_golden_ckpt --student) --
+
+
+def _student_golden():
+    from tools.make_golden_ckpt import student_available
+
+    if not student_available():
+        pytest.skip("no student golden committed (make_golden_ckpt --student)")
+    if "student" not in _cache:
+        _cache["student"] = load_golden("student")
+    return _cache["student"]
+
+
+def test_golden_student_oneshot_tracks_conditioning():
+    """One-shot XLA synthesis from the committed trained student must track
+    held-out conditioning mels — the whole IAF flow composition + sampler
+    on trained weights (the student twin of the teacher free-run gate)."""
+    from nsynth_wavenet_tpu.models import parallelgen
+    from tools.quality_smoke import mel_track_corr
+
+    pwn, params, meta = _student_golden()
+    mels, _ = eval_mels(n=4)
+    audio = np.asarray(jax.jit(
+        lambda p, m: parallelgen.synthesize(pwn, p, m, jax.random.PRNGKey(7))
+    )(params, jnp.asarray(mels)))
+    assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
+    m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
+    assert m_corr > mm_corr + 0.05
+    assert m_corr > meta["matched_corr"] - 0.15, (m_corr, meta["matched_corr"])
+
+
+def test_golden_student_pallas_and_streaming_match_xla():
+    """The fused-Pallas one-shot path and the streaming path (pinned base
+    noise) must track like the XLA path ON TRAINED WEIGHTS — trained flows
+    have peaked scales where random-weight parity can miss real error."""
+    from nsynth_wavenet_tpu.models import parallelgen
+
+    pwn, params, meta = _student_golden()
+    mels, _ = eval_mels(n=8)
+    mels = jnp.asarray(mels)
+    L = pwn.sample_length(mels.shape[1])
+    x = pwn.base_noise(jax.random.PRNGKey(7), mels.shape[0], L)
+
+    ff, _ = pwn.feed_forward(params, {"mel": mels, "base_x": x})
+    xla = np.asarray(pwn._clip_quant_scale(ff["x"]))
+    pal = np.asarray(pwn._clip_quant_scale(parallelgen.feed_forward_pallas(
+        pwn, params, {"mel": mels, "base_x": x}, interpret=True)["x"]))
+    assert np.corrcoef(xla.ravel(), pal.ravel())[0, 1] > 0.999
+
+    st = parallelgen.StudentStreamer(pwn, chunk=1024, tile=256,
+                                     interpret=True)
+    strm = st.synthesize(params, mels, base_x=np.asarray(x))
+    assert np.corrcoef(pal.ravel(), strm.ravel())[0, 1] > 0.999
