@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--b_tile", type=int, default=8)
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the W8A8 (calibrated static-scale) "
+                         "kernel variant as a third interleaved arm")
     ap.add_argument("--profile", action="store_true",
                     help="also capture a device trace of one pallas batch")
     args = ap.parse_args()
@@ -79,8 +82,24 @@ def main():
             )
             return audio, jnp.mean(jnp.abs(audio))
 
+        arms = [("xla", synth_xla), ("pallas", synth_pl)]
+        if args.int8:
+            amax = parallelgen.calibrate_student_act_amax(
+                pwn, params, mel[: min(B, 8)], jax.random.PRNGKey(42)
+            )
+
+            @jax.jit
+            def synth_q(params, mel, rng):
+                audio = parallelgen.synthesize_pallas(
+                    pwn, params, mel, rng, tile=args.tile,
+                    b_tile=args.b_tile, act_amax=amax,
+                )
+                return audio, jnp.mean(jnp.abs(audio))
+
+            arms.append(("pallas_int8", synth_q))
+
         fns = {}
-        for name, f in (("xla", synth_xla), ("pallas", synth_pl)):
+        for name, f in arms:
             t0 = time.time()
             audio, w = f(params, mel, jax.random.PRNGKey(0))
             w = float(np.asarray(w))
@@ -113,6 +132,10 @@ def main():
         speedups[B] = meds["xla"] / meds["pallas"]
         print(f"B={B} pallas end-to-end speedup: {speedups[B]:.2f}x "
               f"(done bar: >= 2x)")
+        if "pallas_int8" in meds:
+            print(f"B={B} pallas_int8 vs pallas: "
+                  f"{meds['pallas'] / meds['pallas_int8']:.2f}x "
+                  f"(vs xla {meds['xla'] / meds['pallas_int8']:.2f}x)")
 
     if args.profile:
         B = max(speedups)

@@ -80,7 +80,8 @@ def _mm_1x1(p, x, dtype, out_dtype=None):
 
 
 def _iaf_flow_pallas(
-    pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret, compact
+    pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret,
+    compact, amax=None
 ):
     """One IAF flow with the dilated trunk in the fused Pallas kernel.
 
@@ -121,16 +122,26 @@ def _iaf_flow_pallas(
     # keeps each call's carry scratch inside the VMEM budget); mel-cond
     # biases fold into the dilated-conv biases
     b_eff = sw["b"] + sw["b_cond"]
+    enc_q = None
     for s in range(0, n_layers, cfg.num_stages):
         nl = min(cfg.num_stages, n_layers - s)
+        qkw = {}
+        if amax is not None:
+            qkw = dict(act_amax=amax["trunk"][s : s + nl],
+                       enc_amax=amax["enc"])
         fn = flow_kernel_ops.make_flow_stack_fn(
             nl, cfg.num_stages, W, B, L,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
-            cond_features=dw, time_major=True,
+            cond_features=dw, time_major=True, **qkw,
         )
+        enc_in = enc_tm
+        if amax is not None:
+            if enc_q is None:
+                enc_q = fn.quantize_enc(enc_tm)
+            enc_in = enc_q
         l = fn(
             l,
-            enc_tm,
+            enc_in,
             sw["w_tap"][s : s + nl],
             b_eff[s : s + nl],
             sw["w_res"][s : s + nl],
@@ -155,6 +166,98 @@ def _iaf_flow_pallas(
     }
 
 
+def calibrate_student_act_amax(pwn: ParallelWavenet, params, mel, rng,
+                               margin: float = 1.1):
+    """Per-flow static activation scales for the W8A8 flow kernel.
+
+    Replays the flow trunks in XLA on calibration mels (same math as the
+    kernel: stacked weights, bf16 matmuls) recording each layer's INPUT
+    abs-max and each flow's encoding abs-max — the quantities the kernel's
+    static scales quantize (the AR kernel's calibrate_act_amax recipe,
+    models/fastgen.py).  `margin` inflates the maxima: serving noise draws
+    differ from the calibration draw, and a clipped activation costs more
+    than a slightly coarser step.  Returns a concrete list per flow:
+    {'trunk': np[NL], 'enc': float}.
+    """
+    cfg = pwn.cfg
+    dtype = pwn.dtype or jnp.float32
+
+    def run(params, mel, rng):
+        B, num_frames, _ = mel.shape
+        length = pwn.sample_length(num_frames)
+        x = pwn.base_noise(rng, B, length)
+
+        shared_enc = None
+        if cfg.use_share_deconv or cfg.use_teacher_deconv:
+            shared_enc, _ = pwn._flow_deconv(params, None, mel, False)
+        iaf_x = jnp.transpose(x)[..., None]
+        out = []
+        for fi in range(pwn.num_flows):
+            fp = params["flows"][fi]
+            enc = shared_enc
+            if enc is None:
+                enc, _ = pwn._flow_deconv(params, fp, mel, False)
+            enc_tm = jnp.transpose(
+                _trim_to(enc, length), (1, 0, 2)
+            ).astype(jnp.float32)
+            sw = flow_kernel_ops.stack_flow_weights(fp)
+            w_start = conv_ops.effective_kernel(fp["start_conv"])
+            L = iaf_x.shape[0]
+            taps = []
+            for k in range(3):
+                delay = 3 - k
+                xd = jnp.concatenate(
+                    [jnp.zeros((delay, iaf_x.shape[1], 1), iaf_x.dtype),
+                     iaf_x[: L - delay]], 0)
+                taps.append(xd * w_start[k, 0][None, None, :])
+            l = taps[0] + taps[1] + taps[2] + fp["start_conv"]["b"]
+            n_layers = cfg.num_iaf_layers[fi]
+            m = cfg.width // 2
+            amaxes = []
+            b_eff = sw["b"] + sw["b_cond"]
+            for li in range(n_layers):
+                d_i = 2 ** (li % cfg.num_stages)
+                amaxes.append(jnp.max(jnp.abs(l)))
+                acc = 0.0
+                for k, delay in ((0, 2 * d_i), (1, d_i), (2, 0)):
+                    xd = jnp.concatenate(
+                        [jnp.zeros((min(delay, L), l.shape[1], cfg.width),
+                                   l.dtype), l[: L - delay]], 0)
+                    acc = acc + jnp.dot(
+                        xd.astype(jnp.bfloat16),
+                        sw["w_tap"][li, k].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc = acc + jnp.dot(
+                    enc_tm.astype(jnp.bfloat16),
+                    sw["w_cond"][li].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) + b_eff[li]
+                gate = jax.nn.sigmoid(acc[..., :m]) * jnp.tanh(acc[..., m:])
+                l = l + jnp.dot(
+                    gate.astype(jnp.bfloat16),
+                    sw["w_res"][li].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) + sw["b_res"][li]
+            # heads for the next flow's input
+            h = jax.nn.relu(l.astype(dtype))
+            h = _mm_1x1(fp["out1"], h, dtype, dtype)
+            c = _mm_1x1(fp["mel_cond_out1"], enc_tm, dtype, dtype)
+            h = jax.nn.relu(h + c)
+            mean = _mm_1x1(fp["out2_mean"], h, dtype)
+            scale, _ = pwn.scale_log_scale(_mm_1x1(fp["out2_scale"], h, dtype))
+            iaf_x = iaf_x * scale + mean
+            out.append((jnp.stack(amaxes), jnp.max(jnp.abs(enc_tm))))
+        return out
+
+    res = jax.jit(run)(params, jnp.asarray(mel), rng)
+    return [
+        {"trunk": np.asarray(t, np.float64) * margin,
+         "enc": float(e) * margin}
+        for t, e in res
+    ]
+
+
 def feed_forward_pallas(
     pwn: ParallelWavenet,
     params,
@@ -165,10 +268,16 @@ def feed_forward_pallas(
     b_tile: int = 8,
     interpret: bool = None,
     compact: bool = None,
+    act_amax=None,
 ):
     """ParallelWavenet.feed_forward with the flow trunks in the fused
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
+
+    act_amax: per-flow static activation scales from
+    calibrate_student_act_amax — runs the trunks as **W8A8 int8** (2x MXU
+    throughput, 4x smaller carries); quality-gate on the golden student
+    before serving with it.
 
     tile/b_tile: length/batch tiles of the kernel grid.  Defaults are the
     round-4 sweep optimum at the full student ladder (tile 256 beats 128
@@ -228,6 +337,7 @@ def feed_forward_pallas(
         iaf_dict = _iaf_flow_pallas(
             pwn, fp, iaf_x, enc_tm, fi,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
+            amax=None if act_amax is None else act_amax[fi],
         )
         iaf_x = iaf_dict["x"]
         scale = iaf_dict["scale"]

@@ -56,6 +56,8 @@ def make_flow_stack_fn(
     cond_features: int = 0,
     time_major: bool = False,
     streaming: bool = False,
+    act_amax=None,
+    enc_amax: float = None,
 ):
     """Build fn(x [B, L, W] f32, cond [B, L, NL*W] f32, w_tap [NL, 3, W, W],
     b [NL, W], w_res [NL, m, W], b_res [NL, W]) -> l_out [B, L, W] f32
@@ -110,6 +112,20 @@ def make_flow_stack_fn(
     zeros == the fresh causal-zero history.  Chunk boundaries land on
     tile boundaries, so chaining chunk calls is numerically identical to
     one long call (the kernel does the same per-tile math either way).
+
+    act_amax: [n_layers] CONCRETE per-layer abs-max of the trunk stream
+    (flow-local; see parallelgen.calibrate_flow_act_amax) — switches the
+    kernel to **W8A8 int8** (enc-mode only): every matmul runs int8 on
+    the MXU (2x bf16 throughput) with the AR kernel's v4 static-scale
+    recipe (ops/fastgen_kernel.py): activations quantized once per layer
+    with the static scale 127/amax, carries stored as int8 payloads (4x
+    smaller VMEM), the gate quantized with the fixed 1/127 scale
+    (sigmoid*tanh is bounded in (-1,1), cannot clip), and per-output-
+    column weight scales folded with the activation scale into ONE
+    post-matmul dequant multiply per operand group.  The scales are
+    compile-time constants (concrete numpy), not traced args.  fn then
+    expects enc already int8-quantized with scalar scale enc_scale
+    (fn attribute `quantize_enc` does it).
     """
     assert length % tile == 0
     if not b_tile:
@@ -123,9 +139,20 @@ def make_flow_stack_fn(
     dils = [2 ** (i % num_stages) for i in range(n_layers)]
     grid = (batch // b_tile, length // tile)
     B, W = b_tile, width
-    cond_dt = jnp.bfloat16 if compact else jnp.float32
+    quant = act_amax is not None
+    if quant:
+        assert cond_features and enc_amax is not None, (
+            "W8A8 flow kernel is enc-mode only and needs enc_amax"
+        )
+        assert carry_dtype is None, "quant mode owns the carry dtype (int8)"
+        act_amax = np.maximum(np.asarray(act_amax, np.float64), 1e-8)
+        assert act_amax.shape == (n_layers,), act_amax.shape
+        enc_amax = max(float(enc_amax), 1e-8)
+    cond_dt = jnp.int8 if quant else (jnp.bfloat16 if compact else jnp.float32)
     w_dt = jnp.bfloat16 if compact else jnp.float32
-    cdt = carry_dtype if carry_dtype is not None else jnp.float32
+    cdt = carry_dtype if carry_dtype is not None else (
+        jnp.int8 if quant else jnp.float32
+    )
 
     def kernel(*refs):
         i = 0
@@ -138,6 +165,11 @@ def make_flow_stack_fn(
         wcond_ref = None
         if cond_features:
             wcond_ref = refs[i]; i += 1  # [NL, DW, W]
+        dqtap_ref = dqcond_ref = dqres_ref = None
+        if quant:
+            dqtap_ref = refs[i]; i += 1   # [NL, W] f32 act*weight dequant
+            dqcond_ref = refs[i]; i += 1  # [NL, W] f32
+            dqres_ref = refs[i]; i += 1   # [NL, W] f32
         state_ref = None
         if streaming:
             state_ref = refs[i]; i += 1  # [sum(2d), B, W] f32
@@ -157,63 +189,113 @@ def make_flow_stack_fn(
         def _init():
             for li in range(n_layers):
                 if streaming:
-                    carries[li][0 : 2 * dils[li]] = state_ref[
-                        offs[li] : offs[li + 1]
-                    ].astype(cdt)
+                    st = state_ref[offs[li] : offs[li + 1]]
+                    if quant:
+                        # state keeps the f32 interface; payloads are
+                        # requantized with the layer's static scale — an
+                        # exact round trip (q -> q*s -> round(q*s/s) = q)
+                        st = jnp.clip(
+                            jnp.round(st * (127.0 / act_amax[li])),
+                            -127, 127,
+                        )
+                    carries[li][0 : 2 * dils[li]] = st.astype(cdt)
                 else:
                     carries[li][...] = jnp.zeros_like(carries[li])
 
         l = x_ref[...]  # [tile, B, W] f32
+        if quant:
+            enc_q = cond_ref[...].reshape(tile * B, cond_features)  # int8
         for li in range(n_layers):
             d = dils[li]
             buf = carries[li]
-            # place this layer's input tile after its 2d-row history
-            buf[2 * d : 2 * d + tile] = l.astype(cdt)
-            # taps over the concatenated (history ++ tile) stream:
-            # output index j uses rows j (t-2d), j+d (t-d), j+2d (t)
-            x2 = buf[0:tile]
-            x1 = buf[d : d + tile]
-            x0 = l
-            wt = wtap_ref[li]  # [3, W, W]
-            acc = jnp.dot(
-                x2.reshape(tile * B, W).astype(jnp.bfloat16),
-                wt[0].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            acc += jnp.dot(
-                x1.reshape(tile * B, W).astype(jnp.bfloat16),
-                wt[1].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            acc += jnp.dot(
-                x0.reshape(tile * B, W).astype(jnp.bfloat16),
-                wt[2].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            if cond_features:
-                # bf16 only in compact mode — non-compact keeps the cond
-                # projection f32, matching the stream-mode einsum precision
-                mm_dt = jnp.bfloat16 if compact else jnp.float32
-                acc += jnp.dot(
-                    cond_ref[...].reshape(tile * B, cond_features)
-                    .astype(mm_dt),
-                    wcond_ref[li].astype(mm_dt),
-                    preferred_element_type=jnp.float32,
+            if quant:
+                # quantize this layer's input ONCE with its static scale;
+                # the quantized tile is both the x0 operand and the carry
+                # payload (history comes back already quantized — same
+                # design as the AR kernel's pre-quantized rings)
+                x0q = jnp.clip(
+                    jnp.round(l * (127.0 / act_amax[li])), -127, 127
+                ).astype(jnp.int8)
+                buf[2 * d : 2 * d + tile] = x0q
+                x2 = buf[0:tile]
+                x1 = buf[d : d + tile]
+                acc32 = jnp.dot(
+                    x2.reshape(tile * B, W), wtap_ref[li, 0],
+                    preferred_element_type=jnp.int32,
                 )
+                acc32 += jnp.dot(
+                    x1.reshape(tile * B, W), wtap_ref[li, 1],
+                    preferred_element_type=jnp.int32,
+                )
+                acc32 += jnp.dot(
+                    x0q.reshape(tile * B, W), wtap_ref[li, 2],
+                    preferred_element_type=jnp.int32,
+                )
+                acc = acc32.astype(jnp.float32) * dqtap_ref[li][None, :]
+                acc += jnp.dot(
+                    enc_q, wcond_ref[li], preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * dqcond_ref[li][None, :]
                 cond_li = 0.0
             else:
-                cond_li = cond_ref[:, li]
+                # place this layer's input tile after its 2d-row history
+                buf[2 * d : 2 * d + tile] = l.astype(cdt)
+                # taps over the concatenated (history ++ tile) stream:
+                # output index j uses rows j (t-2d), j+d (t-d), j+2d (t)
+                x2 = buf[0:tile]
+                x1 = buf[d : d + tile]
+                x0 = l
+                wt = wtap_ref[li]  # [3, W, W]
+                acc = jnp.dot(
+                    x2.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += jnp.dot(
+                    x1.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[1].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += jnp.dot(
+                    x0.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[2].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                if cond_features:
+                    # bf16 only in compact mode — non-compact keeps the
+                    # cond projection f32, matching stream-mode precision
+                    mm_dt = jnp.bfloat16 if compact else jnp.float32
+                    acc += jnp.dot(
+                        cond_ref[...].reshape(tile * B, cond_features)
+                        .astype(mm_dt),
+                        wcond_ref[li].astype(mm_dt),
+                        preferred_element_type=jnp.float32,
+                    )
+                    cond_li = 0.0
+                else:
+                    cond_li = cond_ref[:, li]
             d_pre = (
                 acc.reshape(tile, B, W)
                 + cond_li
                 + b_ref[li][None, None, :]
             )
             gate = jax.nn.sigmoid(d_pre[:, :, :m]) * jnp.tanh(d_pre[:, :, m:])
-            res = jnp.dot(
-                gate.reshape(tile * B, m).astype(jnp.bfloat16),
-                wres_ref[li].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).reshape(tile, B, W) + bres_ref[li][None, None, :]
+            if quant:
+                # |gate| < 1 so the fixed 1/127 scale cannot clip (the AR
+                # kernel's gate_static recipe)
+                gq = jnp.round(gate.reshape(tile * B, m) * 127.0).astype(
+                    jnp.int8
+                )
+                res = jnp.dot(
+                    gq, wres_ref[li], preferred_element_type=jnp.int32
+                ).astype(jnp.float32).reshape(tile, B, W) * dqres_ref[li][
+                    None, None, :
+                ] + bres_ref[li][None, None, :]
+            else:
+                res = jnp.dot(
+                    gate.reshape(tile * B, m).astype(jnp.bfloat16),
+                    wres_ref[li].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).reshape(tile, B, W) + bres_ref[li][None, None, :]
             # slide the carry window BEFORE overwriting l (reads buf tail).
             # When 2d > tile the source and destination ranges OVERLAP —
             # interpret mode materializes the read first, but compiled
@@ -229,9 +311,10 @@ def make_flow_stack_fn(
                 # post-slide rows 0:2d ARE the history the next chunk needs
                 @pl.when(t0 == length // tile - 1)
                 def _export(li=li, d=d, buf=buf):
-                    state_out_ref[offs[li] : offs[li + 1]] = buf[
-                        0 : 2 * d
-                    ].astype(jnp.float32)
+                    h = buf[0 : 2 * d].astype(jnp.float32)
+                    if quant:
+                        h = h * (act_amax[li] / 127.0)
+                    state_out_ref[offs[li] : offs[li + 1]] = h
             l = l + res
         out_ref[...] = l
 
@@ -251,6 +334,9 @@ def make_flow_stack_fn(
         in_specs.append(
             pl.BlockSpec((n_layers, cond_features, W), lambda bi, t: (0, 0, 0))
         )
+    if quant:
+        for _ in range(3):  # dq_tap, dq_cond, dq_res
+            in_specs.append(pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)))
     sum2d = int(sum(2 * d for d in dils))
     if streaming:
         in_specs.append(
@@ -296,7 +382,14 @@ def make_flow_stack_fn(
         # tile-aligned; in enc mode cond is the raw encoding [B, L, DW] ->
         # [L, B, DW] and w_cond [NL, DW, W] rides along
         if time_major:
-            xt, ct = x, cond.astype(cond_dt)
+            if quant:
+                assert cond.dtype == jnp.int8, (
+                    "quant mode needs the enc pre-quantized — use "
+                    "fn.quantize_enc"
+                )
+                xt, ct = x, cond
+            else:
+                xt, ct = x, cond.astype(cond_dt)
             assert cond_features or n_layers == 1, (
                 "time_major stream mode would need [L, NL, B, W] cond"
             )
@@ -309,6 +402,42 @@ def make_flow_stack_fn(
                 ct = jnp.transpose(
                     cond.reshape(Bf, Lc, n_layers, W), (1, 2, 0, 3)
                 ).astype(cond_dt)
+        if quant:
+            # per-(layer, out-col) weight scales, shared across the 3 taps
+            # so their int32 accumulators sum before ONE dequant multiply;
+            # activation scales fold in (static, compile-time constants)
+            s_tap = jnp.maximum(
+                jnp.max(jnp.abs(w_tap), axis=(1, 2)), 1e-12
+            )  # [NL, W]
+            s_cond = jnp.maximum(jnp.max(jnp.abs(w_cond), axis=1), 1e-12)
+            s_res = jnp.maximum(jnp.max(jnp.abs(w_res), axis=1), 1e-12)
+            wtap_q = jnp.clip(
+                jnp.round(w_tap * (127.0 / s_tap[:, None, None, :])),
+                -127, 127,
+            ).astype(jnp.int8)
+            wcond_q = jnp.clip(
+                jnp.round(w_cond * (127.0 / s_cond[:, None, :])), -127, 127
+            ).astype(jnp.int8)
+            wres_q = jnp.clip(
+                jnp.round(w_res * (127.0 / s_res[:, None, :])), -127, 127
+            ).astype(jnp.int8)
+            amax_col = jnp.asarray(act_amax, jnp.float32)[:, None]
+            dq_tap = s_tap * (amax_col / (127.0 * 127.0))
+            dq_cond = s_cond * (enc_amax / (127.0 * 127.0))
+            dq_res = s_res * (1.0 / (127.0 * 127.0))
+            extra = (wcond_q, dq_tap, dq_cond, dq_res)
+            if streaming:
+                assert state is not None, "streaming mode needs the state"
+                extra = extra + (state.astype(jnp.float32),)
+            out = call(xt, ct, wtap_q, b.astype(jnp.float32),
+                       wres_q, b_res.astype(jnp.float32), *extra)
+            if streaming:
+                out, new_state = out
+                return (
+                    out if time_major else jnp.transpose(out, (1, 0, 2)),
+                    new_state,
+                )
+            return out if time_major else jnp.transpose(out, (1, 0, 2))
         if cond_features:
             assert w_cond is not None
             extra = (w_cond.astype(w_dt),)
@@ -328,6 +457,16 @@ def make_flow_stack_fn(
         return out if time_major else jnp.transpose(out, (1, 0, 2))
 
     fn.state_rows = sum2d
+    if quant:
+        def quantize_enc(enc):
+            """f32/bf16 encoding -> int8 with the calibrated static scale
+            (compute once per utterance and share across stack calls)."""
+            return jnp.clip(
+                jnp.round(enc.astype(jnp.float32) * (127.0 / enc_amax)),
+                -127, 127,
+            ).astype(jnp.int8)
+
+        fn.quantize_enc = quantize_enc
     return fn
 
 

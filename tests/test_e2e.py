@@ -155,3 +155,18 @@ def test_student_synthesis(corpus, student):
     assert len(outs2) == 4
     wav2, _ = data_lib.read_wav(outs2[0])
     assert np.isfinite(wav2).all() and np.abs(wav2).max() <= 1.0
+
+
+def test_student_synthesis_streaming(corpus, student):
+    """Stage 6b: the eval driver's streaming path (--pallas
+    --streaming_chunk; interpret-mode kernels off-TPU) produces finite
+    audio of the same shape as the one-shot path."""
+    gen_dir3 = os.path.join(corpus["root"], "gen_student_stream")
+    outs3 = evaluation.generate_parallel_wavenet(
+        corpus["wav_dir"], student["run"], gen_dir3, batch_size=2,
+        use_pallas=True, streaming_chunk=512,
+    )
+    assert len(outs3) == 4
+    for f in outs3:
+        wav3, _ = data_lib.read_wav(f)
+        assert np.isfinite(wav3).all() and np.abs(wav3).max() <= 1.0
