@@ -58,6 +58,8 @@ def make_flow_stack_fn(
     streaming: bool = False,
     act_amax=None,
     enc_amax: float = None,
+    probe: str = None,
+    fuse_taps: bool = False,
 ):
     """Build fn(x [B, L, W] f32, cond [B, L, NL*W] f32, w_tap [NL, 3, W, W],
     b [NL, W], w_res [NL, m, W], b_res [NL, W]) -> l_out [B, L, W] f32
@@ -126,7 +128,20 @@ def make_flow_stack_fn(
     compile-time constants (concrete numpy), not traced args.  fn then
     expects enc already int8-quantized with scalar scale enc_scale
     (fn attribute `quantize_enc` does it).
+
+    probe: PERF ATTRIBUTION ONLY — produces WRONG output.  'no_slide'
+    skips the per-layer carry-window slide copies (bounds their VMEM-
+    bandwidth/serialization share); 'no_gate' replaces sigmoid*tanh with
+    two clips (VPU transcendental share).  Same methodology as the AR
+    kernel's benchmarks/ab_probe.py.
+
+    fuse_taps (bf16 path): assemble the three tap operands into one
+    [tile*B, 3W] block and run ONE K=3W matmul per layer instead of three
+    K=W issues — the probe attribution says the kernel is MXU-issue-
+    bound, so trading VPU assembly copies for fewer serialized issues may
+    pay (same math: the stacked [3W, W] weight matches the concat order).
     """
+    assert probe in (None, "no_slide", "no_gate"), probe
     assert length % tile == 0
     if not b_tile:
         b_tile = batch
@@ -245,21 +260,36 @@ def make_flow_stack_fn(
                 x1 = buf[d : d + tile]
                 x0 = l
                 wt = wtap_ref[li]  # [3, W, W]
-                acc = jnp.dot(
-                    x2.reshape(tile * B, W).astype(jnp.bfloat16),
-                    wt[0].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                acc += jnp.dot(
-                    x1.reshape(tile * B, W).astype(jnp.bfloat16),
-                    wt[1].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                acc += jnp.dot(
-                    x0.reshape(tile * B, W).astype(jnp.bfloat16),
-                    wt[2].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                if fuse_taps:
+                    xcat = jnp.concatenate(
+                        [
+                            x2.reshape(tile * B, W),
+                            x1.reshape(tile * B, W),
+                            x0.reshape(tile * B, W),
+                        ],
+                        axis=1,
+                    ).astype(jnp.bfloat16)
+                    acc = jnp.dot(
+                        xcat,
+                        wt.reshape(3 * W, W).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    acc = jnp.dot(
+                        x2.reshape(tile * B, W).astype(jnp.bfloat16),
+                        wt[0].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc += jnp.dot(
+                        x1.reshape(tile * B, W).astype(jnp.bfloat16),
+                        wt[1].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc += jnp.dot(
+                        x0.reshape(tile * B, W).astype(jnp.bfloat16),
+                        wt[2].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
                 if cond_features:
                     # bf16 only in compact mode — non-compact keeps the
                     # cond projection f32, matching stream-mode precision
@@ -278,7 +308,14 @@ def make_flow_stack_fn(
                 + cond_li
                 + b_ref[li][None, None, :]
             )
-            gate = jax.nn.sigmoid(d_pre[:, :, :m]) * jnp.tanh(d_pre[:, :, m:])
+            if probe == "no_gate":
+                gate = jnp.clip(d_pre[:, :, :m], 0.0, 1.0) * jnp.clip(
+                    d_pre[:, :, m:], -1.0, 1.0
+                )
+            else:
+                gate = jax.nn.sigmoid(d_pre[:, :, :m]) * jnp.tanh(
+                    d_pre[:, :, m:]
+                )
             if quant:
                 # |gate| < 1 so the fixed 1/127 scale cannot clip (the AR
                 # kernel's gate_static recipe)
@@ -305,6 +342,8 @@ def make_flow_stack_fn(
             # from every not-yet-written destination.
             step = min(tile, 2 * d)
             for off in range(0, 2 * d, step):
+                if probe == "no_slide":
+                    break
                 n = min(step, 2 * d - off)
                 buf[off : off + n] = buf[tile + off : tile + off + n]
             if streaming:
