@@ -250,7 +250,7 @@ def check_golden_student():
 
 
 def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
-                     enc_mode=False, quant=False):
+                     enc_mode=False, quant=False, fuse=False):
     """COMPILED-mode flow-stack kernel parity on TPU (round-3 VERDICT #2).
 
     Interpret mode hid both round-3 Mosaic miscompiles (bf16 carries wrong
@@ -298,7 +298,7 @@ def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
     fn = flk.make_flow_stack_fn(
         n_layers, num_stages, W, Bf, L, tile=tile, b_tile=b_tile,
         compact=compact, cond_features=DW if enc_mode else 0,
-        time_major=enc_mode, **qkw,
+        time_major=enc_mode, fuse_taps=fuse, **qkw,
     )
     if enc_mode:
         cdt = jnp.bfloat16 if compact else jnp.float32
@@ -318,7 +318,7 @@ def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
     print(
         f"flow_stack[NL={n_layers}/st={num_stages}/tile={tile}/L={L}/"
         f"compact={compact}/bt={b_tile or Bf}/enc={enc_mode}"
-        f"{'/W8A8' if quant else ''}]: "
+        f"{'/W8A8' if quant else ''}{'/fused' if fuse else ''}]: "
         f"rel_err {err:.5f} (tol {tol}) {'OK' if ok else 'FAIL'}",
         file=sys.stderr,
     )
@@ -425,6 +425,10 @@ def main():
     ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True)
     ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8,
                            enc_mode=True)
+    #  - fused-tap variant (one K=3W issue per layer — the shipped bf16
+    #    serving configuration since the round-4 probe study)
+    ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True,
+                           fuse=True)
     #  - W8A8 static-scale variant (int8 MXU + int8 carries) at the full
     #    ladder and the 2d>tile slide
     ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True,

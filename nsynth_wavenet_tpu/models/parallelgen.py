@@ -132,7 +132,11 @@ def _iaf_flow_pallas(
         fn = flow_kernel_ops.make_flow_stack_fn(
             nl, cfg.num_stages, W, B, L,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
-            cond_features=dw, time_major=True, **qkw,
+            cond_features=dw, time_major=True,
+            # one K=3W tap issue per layer instead of three K=W issues:
+            # the kernel is MXU-issue-bound (RESULTS.md round-4 probes);
+            # measured ~6% per stack call at the shipped shape
+            fuse_taps=amax is None, **qkw,
         )
         enc_in = enc_tm
         if amax is not None:
@@ -564,7 +568,7 @@ class StudentStreamer:
                         tile=self.tile, b_tile=b_tile,
                         interpret=self.interpret, compact=self.compact,
                         cond_features=enc_tm.shape[-1], time_major=True,
-                        streaming=True,
+                        streaming=True, fuse_taps=True,
                     )
                     l, g = fn(
                         l, enc_tm,

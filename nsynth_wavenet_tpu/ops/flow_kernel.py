@@ -1,4 +1,4 @@
-"""Fused Pallas kernel for one IAF flow's dilated-conv stack (prototype).
+"""Fused Pallas kernel for one IAF flow's dilated-conv stack.
 
 Round-3 floor analysis showed the one-shot student ~11x above its
 analytic floor: XLA lowers every width-64 flow conv with a VPU window
@@ -6,9 +6,10 @@ emitter (`EmitAllBatchInSublanes`) and materializes the [B, L, 64]
 stream in HBM between layers; a GEMM reformulation at the XLA level is
 2-3x WORSE (benchmarks/ab_small_conv.py).  This kernel changes the
 structure instead: the whole stack of a flow runs inside ONE pallas_call,
-gridded over length tiles, with every inter-layer activation resident in
-VMEM — HBM sees only the flow's input tile, the precomputed conditioning
-tile, and the output tile.
+gridded over (batch, length) tiles, with every inter-layer activation
+resident in VMEM — HBM sees only the flow's input tile, the conditioning
+(raw deconv-encoding tile in the shipped enc mode; per-layer mel-cond
+1x1s run IN-KERNEL against it), and the output tile.
 
 Layer math mirrors ParallelWavenet._create_iaf's non-gated-width trunk
 (reference parallel_wavenet.py:200-287): per layer
@@ -16,9 +17,6 @@ Layer math mirrors ParallelWavenet._create_iaf's non-gated-width trunk
                                              2^(i % num_stages))
     g   = sigmoid(d[:, :m]) * tanh(d[:, m:])    m = width // 2
     l'  = l + res_1x1(g)
-The mel-conditioning projections for all layers are PRECOMPUTED outside
-(one dense [L, deconv_width] x [deconv_width, n_layers*width] matmul —
-MXU-efficient) and streamed as one [L, n_layers*width] input.
 
 Dilation history crosses tile boundaries through per-layer VMEM carries:
 layer i keeps the last 2*d_i rows of ITS OWN input stream in scratch,
@@ -26,10 +24,15 @@ slid at the end of each grid step — the same ring idea as the AR serving
 kernel, but per-tile instead of per-sample and entirely in VMEM (no HBM
 ring: sum(2*d) rows x [B, width] fits VMEM at small batch tiles).
 
-Status: CORRECTNESS PROTOTYPE for the round-4 go/no-go
-(docs/student_kernel_plan.md).  Parity-tested against the conv-op
-reference in interpret mode (tests/test_flow_kernel.py) and timed by
-benchmarks/ab_flow_kernel.py; not yet wired into parallelgen.
+Status: SHIPPED as the student serving path since round 4
+(models/parallelgen.feed_forward_pallas / synthesize_pallas /
+StudentStreamer; 2.2-2.5x the XLA conv path end-to-end —
+benchmarks/RESULTS.md round 4).  Variants: compact (bf16 enc/weights),
+streaming (carried state, any-length serving), W8A8 (opt-in int8,
+act_amax), fuse_taps (experimental).  Parity: interpret-mode pytest
+(tests/test_flow_kernel.py) + compiled hardware gates
+(benchmarks/tpu_kernel_parity.py — interpret mode HID two real Mosaic
+miscompiles, so the hardware gates are the load-bearing ones).
 """
 
 import functools
