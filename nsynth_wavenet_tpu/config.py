@@ -58,6 +58,10 @@ class WavenetConfig:
     lr_schedule: Tuple[Tuple[int, float], ...] = DEFAULT_LR_SCHEDULE
     # --- framework-level knobs (module flags in the reference) ---
     grad_clip: bool = False  # reference train_wavenet.py:14
+    # reference DETAIL_LOG module flag (wavenet.py:17): deconv-activation
+    # histograms (wavenet.py:68-71) + gauss-head mean/std/log_std
+    # histograms (wavenet.py:308-312) in the train metrics
+    detail_log: bool = False
     compute_dtype: str = "bfloat16"  # MXU contraction dtype; f32 accumulation
     # rematerialize each dilated-conv layer in the backward pass: trades
     # ~25% more conv FLOPs for not storing the gate/residual activations
@@ -138,6 +142,9 @@ class ParallelWavenetConfig:
     use_mel: bool = False
     # --- framework-level knobs ---
     grad_clip: bool = False
+    # reference DETAIL_LOG (parallel_wavenet.py:279-282): per-flow
+    # scale/log_scale/mean scalars + the shared/per-flow deconv histograms
+    detail_log: bool = False
     compute_dtype: str = "bfloat16"
     # rematerialize the teacher's scoring forward in the KL backward pass
     # (stores ~30 layers x [B, 7680, 512] of teacher activations otherwise).

@@ -141,7 +141,8 @@ class ParallelWavenet:
         scale = jnp.clip(jax.nn.softplus(scale_params), np.exp(-9.0), np.exp(7.0))
         return scale, jnp.log(scale)
 
-    def _flow_deconv(self, params, flow_params, mel, init):
+    def _flow_deconv(self, params, flow_params, mel, init, detail=None,
+                     detail_prefix: str = ""):
         cfg = self.cfg
         if cfg.use_share_deconv or cfg.use_teacher_deconv:
             dp = params["deconv_share"]
@@ -156,6 +157,8 @@ class ParallelWavenet:
             init=init,
             dtype=None if init else self.dtype,
             out_dtype=None if init else self.dtype,
+            detail=detail,
+            detail_prefix=detail_prefix,
         )
         return enc, new_dp
 
@@ -253,11 +256,15 @@ class ParallelWavenet:
 
         new_params = dict(params)
         new_params["flows"] = list(params["flows"])
+        # DETAIL_LOG (reference parallel_wavenet.py:279-282): per-flow
+        # scale/log_scale/mean scalars + deconv histograms, returned in the
+        # ff dict so the train step can surface them as metrics
+        detail = {} if (cfg.detail_log and not init) else None
 
         shared_enc = None
         if cfg.use_share_deconv or cfg.use_teacher_deconv:
             shared_enc, new_params["deconv_share"] = self._flow_deconv(
-                params, None, mel, init
+                params, None, mel, init, detail=detail
             )
 
         iaf_x = x[..., None]
@@ -265,7 +272,10 @@ class ParallelWavenet:
         for fi in range(self.num_flows):
             fp = params["flows"][fi]
             if shared_enc is None:
-                mel_en, new_dp = self._flow_deconv(params, fp, mel, init)
+                mel_en, new_dp = self._flow_deconv(
+                    params, fp, mel, init, detail=detail,
+                    detail_prefix=f"iaf_{fi}/",
+                )
                 fp = dict(fp)
                 fp["deconv"] = new_dp
             else:
@@ -279,19 +289,26 @@ class ParallelWavenet:
             mean_tot = iaf_dict["mean"] + mean_tot * scale
             scale_tot = scale_tot * scale
             log_scale_tot = log_scale_tot + iaf_dict["log_scale"]
+            if detail is not None:
+                detail[f"scale_{fi}"] = jnp.mean(scale)
+                detail[f"log_scale_{fi}"] = jnp.mean(iaf_dict["log_scale"])
+                detail[f"mean_{fi}"] = jnp.mean(iaf_dict["mean"])
 
         mean_tot = mean_tot[..., 0]
         scale_tot = jnp.minimum(scale_tot, np.exp(7.0))[..., 0]
         log_scale_tot = jnp.minimum(log_scale_tot, 7.0)[..., 0]
         new_x = x * scale_tot + mean_tot
 
-        return {
+        ff = {
             "x": new_x,
             "mean_tot": mean_tot,
             "scale_tot": scale_tot,
             "log_scale_tot": log_scale_tot,
             "rand_input": x,
-        }, new_params
+        }
+        if detail is not None:
+            ff["detail"] = detail
+        return ff, new_params
 
     # -- losses ------------------------------------------------------------
 

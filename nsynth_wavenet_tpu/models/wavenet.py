@@ -26,6 +26,7 @@ from nsynth_wavenet_tpu.ops import conv as conv_ops
 from nsynth_wavenet_tpu.ops import distributions as dist
 from nsynth_wavenet_tpu.ops import signal as sig
 from nsynth_wavenet_tpu.ops import stft as stft_ops
+from nsynth_wavenet_tpu.utils import logging_utils
 
 
 def condition_add(x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -86,11 +87,18 @@ def apply_deconv_stack(
     init: bool = False,
     dtype=None,
     out_dtype=None,
+    detail=None,
+    detail_prefix: str = "",
 ):
     """mel [B, T, num_mel] -> encoding [B, T * frame_shift, deconv_width].
 
     Returns (encoding, new_params); new_params differs only when init=True
     (data-dependent init of weight-normed layers, pre-activation moments).
+
+    detail: optional dict — when given (DETAIL_LOG, reference
+    wavenet.py:68-71), each upsampling layer's post-activation stream gets
+    an on-device histogram summary under 'hist/{prefix}mel_en_{i}' (with
+    tanh upsampling the spike should sit at 0, per the reference's note).
     """
     act = conv_ops.get_upsample_act(upsample_act)
     new_params = dict(params)
@@ -112,6 +120,10 @@ def apply_deconv_stack(
                 h = conv_ops.trans_conv1d(p, h, stride=stride, dtype=dtype,
                                           out_dtype=out_dtype)
         h = act(h)
+        if detail is not None:
+            detail[f"hist/{detail_prefix}mel_en_{i}"] = (
+                logging_utils.device_histogram(h)
+            )
     return h, new_params
 
 
@@ -225,7 +237,7 @@ class Wavenet:
             inputs["wav"], use_mu_law=self.cfg.use_mu_law, quant_chann=self.cfg.quant_chann
         )
 
-    def deconv_stack(self, params, mel, init: bool = False):
+    def deconv_stack(self, params, mel, init: bool = False, detail=None):
         enc, new_deconv = apply_deconv_stack(
             params["deconv"],
             mel,
@@ -235,6 +247,7 @@ class Wavenet:
             init=init,
             dtype=None if init else self.dtype,
             out_dtype=None if init else self.dtype,
+            detail=detail,
         )
         return enc, new_deconv
 
@@ -280,7 +293,10 @@ class Wavenet:
                 p, x, dilation=dilation, causal=causal, dtype=dtype, out_dtype=dtype
             ), p
 
-        mel_en, new_params["deconv"] = self.deconv_stack(params, inputs["mel"], init=init)
+        detail = {} if (cfg.detail_log and not init) else None
+        mel_en, new_params["deconv"] = self.deconv_stack(
+            params, inputs["mel"], init=init, detail=detail
+        )
 
         x_scaled = inputs["wav_scaled"][..., None]  # [B, L, 1]
         l = conv_ops.shift_right(x_scaled)
@@ -341,13 +357,19 @@ class Wavenet:
 
         # distribution heads (CE log-softmax, MoL CDF deltas over 2^-16-wide
         # bins, Gaussian log-pdf) need f32
-        return {"encoding": mel_en, "out_params": out.astype(jnp.float32)}, new_params
+        ff = {"encoding": mel_en, "out_params": out.astype(jnp.float32)}
+        if detail is not None:
+            ff["detail"] = detail
+        return ff, new_params
 
     # -- loss --------------------------------------------------------------
 
     def calculate_loss(self, ff_dict):
         """ff_dict needs 'out_params' + targets from encode_signal
-        (reference wavenet.py:293-315)."""
+        (reference wavenet.py:293-315).  With detail_log the loss dict
+        carries the ff detail histograms plus, for the gauss head, the
+        mean/std/log_std histograms (reference wavenet.py:308-312) — the
+        README names these the practical convergence diagnostics."""
         cfg = self.cfg
         out = ff_dict["out_params"]
         if cfg.loss_type == "ce":
@@ -356,7 +378,17 @@ class Wavenet:
             loss = dist.mol_loss(out, ff_dict["real_targets"], cfg.quant_chann)
         else:
             loss = dist.gauss_loss(out, ff_dict["real_targets"])
-        return {"loss": loss}
+        ld = {"loss": loss}
+        if cfg.detail_log:
+            ld.update(ff_dict.get("detail", {}))
+            if cfg.loss_type == "gauss":
+                mean, std = dist.mean_std_from_out_params(out)
+                ld["hist/mean"] = logging_utils.device_histogram(mean)
+                ld["hist/std"] = logging_utils.device_histogram(std)
+                ld["hist/log_std"] = logging_utils.device_histogram(
+                    jnp.log(std)
+                )
+        return ld
 
     # -- convenience -------------------------------------------------------
 

@@ -22,6 +22,18 @@ from nsynth_wavenet_tpu.utils import logging_utils
 LOG_EVERY = 100
 
 
+def _host_metrics(metrics) -> dict:
+    """device_get + scalar float-ification; DETAIL_LOG histogram summaries
+    (dicts from logging_utils.device_histogram) pass through intact for
+    MetricsWriter.add_histogram_raw."""
+    import jax
+
+    out = {}
+    for k, v in jax.device_get(metrics).items():
+        out[k] = v if isinstance(v, dict) else float(v)
+    return out
+
+
 def maybe_init_distributed(multihost: bool):
     """Multi-host SPMD init (replaces the reference's unused PS/worker
     scaffolding, deployment/model_deploy.py:487-537): every host runs the
@@ -351,7 +363,7 @@ def train_wavenet(
                 state, metrics = step_fn(state, wav, rng)
                 step += 1
                 if step % LOG_EVERY == 0 or step == target:
-                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    m = _host_metrics(metrics)
                     now = time.time()
                     sps = (step - s_last) / max(now - t_last, 1e-9)
                     t_last, s_last = now, step
@@ -542,7 +554,7 @@ def train_parallel_wavenet(
                 state, metrics = step_fn(state, wav, wav_rand, rng)
                 step += 1
                 if step % LOG_EVERY == 0 or step == target:
-                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    m = _host_metrics(metrics)
                     now = time.time()
                     sps = (step - s_last) / max(now - t_last, 1e-9)
                     t_last, s_last = now, step

@@ -57,9 +57,12 @@ def make_wavenet_train_step(model, optimizer: optax.GradientTransformation, *, m
         dropout_rng = jax.random.fold_in(rng, step) if use_dropout else None
 
         def loss_fn(p):
-            return model.forward_loss(p, wav, mel, dropout_rng=dropout_rng)["loss"]
+            ld = model.forward_loss(p, wav, mel, dropout_rng=dropout_rng)
+            return ld["loss"], ld
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
         updates, new_opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         new_ema = opt_lib.ema_update(state["ema"], new_params, step)
@@ -69,7 +72,8 @@ def make_wavenet_train_step(model, optimizer: optax.GradientTransformation, *, m
             "ema": new_ema,
             "step": step + 1,
         }
-        metrics = {"loss": loss, "learning_rate": lr_fn(step)}
+        # aux carries the DETAIL_LOG histograms/scalars when cfg.detail_log
+        metrics = {**aux, "loss": loss, "learning_rate": lr_fn(step)}
         return new_state, metrics
 
     return step_fn
@@ -182,6 +186,9 @@ def make_pwn_train_step(pwn, teacher_params, optimizer, norm_stats=None, *, mesh
             if use_cl:
                 ff["mel_rand"] = stft_ops.melspectrogram(wav_rand)
             ld = pwn.calculate_loss(teacher_params, ff, rng_loss, norm_stats)
+            # DETAIL_LOG per-flow scalars + deconv histograms
+            # (reference parallel_wavenet.py:279-282, wavenet.py:68-71)
+            ld.update(ff.get("detail", {}))
             # DETAIL_LOG statistic set (reference parallel_wavenet.py:332-339)
             new_x = ff["x"]
             ld["new_x"] = jnp.mean(new_x)

@@ -72,7 +72,12 @@ def hydrate_warm_cache(cache_dir: str = None):
     verified against the committed MANIFEST.sha256 before copying; entries
     that mismatch (tampered/corrupted) or are absent from the manifest are
     skipped with a warning rather than silently hydrated (round-3 advisor
-    finding)."""
+    finding).  Threat model (round-4 advisor): this is an INTEGRITY check
+    against corruption/stale drift, not an authenticity check — the
+    manifest lives next to the blobs, so an attacker with commit access
+    can regenerate both together.  Defending against that requires code
+    review of commits touching benchmarks/warm_cache/ (same trust level
+    as committed source, which such an attacker could also edit)."""
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
     if not os.path.isdir(WARM_CACHE_DIR):
         return 0
