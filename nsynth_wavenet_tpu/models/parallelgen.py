@@ -79,9 +79,29 @@ def _mm_1x1(p, x, dtype, out_dtype=None):
     return y + p["b"].astype(y.dtype)
 
 
+def _head_params_for_kernel(flow_params):
+    """Flow out-head weights in the kernel epilogue's layout: out1 /
+    mel_cond_out1 1x1s plus the out2_mean|out2_scale pair fused into one
+    [W, 2] matmul (column 0 mean, column 1 raw scale params)."""
+    eff = conv_ops.effective_kernel
+    return {
+        "w_out1": eff(flow_params["out1"])[0],
+        "b_out1": flow_params["out1"]["b"],
+        "w_cond_out1": eff(flow_params["mel_cond_out1"])[0],
+        "b_cond_out1": flow_params["mel_cond_out1"]["b"],
+        "w_ms": jnp.concatenate(
+            [eff(flow_params["out2_mean"])[0],
+             eff(flow_params["out2_scale"])[0]], axis=1,
+        ),
+        "b_ms": jnp.concatenate(
+            [flow_params["out2_mean"]["b"], flow_params["out2_scale"]["b"]]
+        ),
+    }
+
+
 def _iaf_flow_pallas(
     pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret,
-    compact, amax=None
+    compact, amax=None, fuse_heads=False
 ):
     """One IAF flow with the dilated trunk in the fused Pallas kernel.
 
@@ -122,9 +142,13 @@ def _iaf_flow_pallas(
     # keeps each call's carry scratch inside the VMEM budget); mel-cond
     # biases fold into the dilated-conv biases
     b_eff = sw["b"] + sw["b_cond"]
+    fuse_heads = fuse_heads and amax is None  # heads epilogue is bf16-only
     enc_q = None
+    out = None
     for s in range(0, n_layers, cfg.num_stages):
         nl = min(cfg.num_stages, n_layers - s)
+        is_last = s + nl >= n_layers
+        with_heads = fuse_heads and is_last
         qkw = {}
         if amax is not None:
             qkw = dict(act_amax=amax["trunk"][s : s + nl],
@@ -136,7 +160,11 @@ def _iaf_flow_pallas(
             # one K=3W tap issue per layer instead of three K=W issues:
             # the kernel is MXU-issue-bound (RESULTS.md round-4 probes);
             # measured ~6% per stack call at the shipped shape
-            fuse_taps=amax is None, **qkw,
+            fuse_taps=amax is None,
+            # round-5: the flow's out-head runs as a kernel epilogue on
+            # the final stack call — the XLA head chain was the dominant
+            # non-kernel share after the round-4 wins (RESULTS.md round 5)
+            heads=with_heads, use_log_scale=cfg.use_log_scale, **qkw,
         )
         enc_in = enc_tm
         if amax is not None:
@@ -151,17 +179,26 @@ def _iaf_flow_pallas(
             sw["w_res"][s : s + nl],
             sw["b_res"][s : s + nl],
             sw["w_cond"][s : s + nl],
+            head_params=_head_params_for_kernel(flow_params)
+            if with_heads else None,
         )
+        if with_heads:
+            out = l  # [L, B, 2] (mean, scale)
 
-    # out heads (XLA, time-major 1x1 matmuls): identical math to
-    # _create_iaf's tail
-    l = jax.nn.relu(l.astype(dtype))
-    l = _mm_1x1(flow_params["out1"], l, dtype, dtype)
-    c = _mm_1x1(flow_params["mel_cond_out1"], enc_tm, dtype, dtype)
-    l = jax.nn.relu(l + c)
-    mean = _mm_1x1(flow_params["out2_mean"], l, dtype)
-    scale_params = _mm_1x1(flow_params["out2_scale"], l, dtype)
-    scale, log_scale = pwn.scale_log_scale(scale_params)
+    if fuse_heads:
+        mean = out[:, :, 0:1]
+        scale = out[:, :, 1:2]
+        log_scale = jnp.log(scale)
+    else:
+        # out heads (XLA, time-major 1x1 matmuls): identical math to
+        # _create_iaf's tail
+        l = jax.nn.relu(l.astype(dtype))
+        l = _mm_1x1(flow_params["out1"], l, dtype, dtype)
+        c = _mm_1x1(flow_params["mel_cond_out1"], enc_tm, dtype, dtype)
+        l = jax.nn.relu(l + c)
+        mean = _mm_1x1(flow_params["out2_mean"], l, dtype)
+        scale_params = _mm_1x1(flow_params["out2_scale"], l, dtype)
+        scale, log_scale = pwn.scale_log_scale(scale_params)
     return {
         "x": x * scale + mean,
         "mean": mean,
@@ -171,7 +208,7 @@ def _iaf_flow_pallas(
 
 
 def calibrate_student_act_amax(pwn: ParallelWavenet, params, mel, rng,
-                               margin: float = 1.1):
+                               margin: float = 1.1, n_seeds: int = 1):
     """Per-flow static activation scales for the W8A8 flow kernel.
 
     Replays the flow trunks in XLA on calibration mels (same math as the
@@ -180,8 +217,14 @@ def calibrate_student_act_amax(pwn: ParallelWavenet, params, mel, rng,
     static scales quantize (the AR kernel's calibrate_act_amax recipe,
     models/fastgen.py).  `margin` inflates the maxima: serving noise draws
     differ from the calibration draw, and a clipped activation costs more
-    than a slightly coarser step.  Returns a concrete list per flow:
-    {'trunk': np[NL], 'enc': float}.
+    than a slightly coarser step.  `n_seeds` replays the trunks under
+    several independent base-noise draws (rng folded per seed) and takes
+    the elementwise max BEFORE the margin — serving draws then sit inside
+    the calibrated range with high probability instead of leaning on the
+    margin alone; the calibration mels should also be representative of
+    serving utterance lengths (amax grows slowly with length as the trunk
+    sees more extreme noise order statistics).  Returns a concrete list
+    per flow: {'trunk': np[NL], 'enc': float}.
     """
     cfg = pwn.cfg
     dtype = pwn.dtype or jnp.float32
@@ -254,12 +297,18 @@ def calibrate_student_act_amax(pwn: ParallelWavenet, params, mel, rng,
             out.append((jnp.stack(amaxes), jnp.max(jnp.abs(enc_tm))))
         return out
 
-    res = jax.jit(run)(params, jnp.asarray(mel), rng)
-    return [
-        {"trunk": np.asarray(t, np.float64) * margin,
-         "enc": float(e) * margin}
-        for t, e in res
+    run_j = jax.jit(run)
+    mel = jnp.asarray(mel)
+    per_seed = [
+        run_j(params, mel, jax.random.fold_in(rng, s) if s else rng)
+        for s in range(max(1, n_seeds))
     ]
+    out = []
+    for fi in range(len(per_seed[0])):
+        t = np.max([np.asarray(r[fi][0], np.float64) for r in per_seed], axis=0)
+        e = max(float(r[fi][1]) for r in per_seed)
+        out.append({"trunk": t * margin, "enc": e * margin})
+    return out
 
 
 def feed_forward_pallas(
@@ -273,15 +322,25 @@ def feed_forward_pallas(
     interpret: bool = None,
     compact: bool = None,
     act_amax=None,
+    fuse_heads: bool = True,
 ):
     """ParallelWavenet.feed_forward with the flow trunks in the fused
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
 
+    fuse_heads (round-5, bf16 path): each flow's out-head runs as an
+    epilogue inside its final stack call (ops/flow_kernel heads mode)
+    instead of an XLA 1x1 chain over the [L, B, W] trunk stream — the
+    stream never round-trips HBM and the kernel output shrinks to
+    [L, B, 2].  Ignored in W8A8 mode (epilogue is bf16-only).
+
     act_amax: per-flow static activation scales from
     calibrate_student_act_amax — runs the trunks as **W8A8 int8** (2x MXU
     throughput, 4x smaller carries); quality-gate on the golden student
-    before serving with it.
+    before serving with it.  The scales are STATIC: a serving noise draw
+    or utterance length far outside what calibration saw can exceed amax
+    and saturate (graceful clip, workload-dependent quality tax) —
+    calibrate over several seeds (n_seeds) and representative lengths.
 
     tile/b_tile: length/batch tiles of the kernel grid.  Defaults are the
     round-4 sweep optimum at the full student ladder (tile 256 beats 128
@@ -342,6 +401,7 @@ def feed_forward_pallas(
             pwn, fp, iaf_x, enc_tm, fi,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
             amax=None if act_amax is None else act_amax[fi],
+            fuse_heads=fuse_heads,
         )
         iaf_x = iaf_dict["x"]
         scale = iaf_dict["scale"]
@@ -471,11 +531,16 @@ class StudentStreamer:
 
     def _stack_all(self, params):
         """Per-flow kernel-layout weights (resolving weight norm) + head
-        params.  Jitted into ONE program and cached by params identity:
-        eager stacking is ~400 tiny ops, each a separate dispatch through
-        this backend's tunnel (measured to dominate streaming wall time)."""
+        params.  Jitted into ONE program and cached: eager stacking is
+        ~400 tiny ops, each a separate dispatch through this backend's
+        tunnel (measured to dominate streaming wall time).  The cache key
+        is the params object identity PLUS a leaf-identity fingerprint —
+        jax arrays are immutable, so any weight update swaps leaf objects
+        even when the caller mutates the same pytree dict in place; the
+        fingerprint catches that case instead of serving stale weights."""
+        fp = tuple(id(leaf) for leaf in jax.tree_util.tree_leaves(params))
         cached = self._stacked_cache
-        if cached is not None and cached[0] is params:
+        if cached is not None and cached[0] is params and cached[2] == fp:
             return cached[1]
 
         def stack(params):
@@ -485,14 +550,12 @@ class StudentStreamer:
                 sw = dict(sw, b_eff=sw["b"] + sw["b_cond"],
                           w_start=conv_ops.effective_kernel(fp["start_conv"]),
                           b_start=fp["start_conv"]["b"],
-                          heads={k: fp[k] for k in
-                                 ("out1", "mel_cond_out1", "out2_mean",
-                                  "out2_scale")})
+                          head_kernel=_head_params_for_kernel(fp))
                 flows.append(sw)
             return flows
 
         stacked = jax.jit(stack)(params)
-        self._stacked_cache = (params, stacked)
+        self._stacked_cache = (params, stacked, fp)
         return stacked
 
     def init_state(self, batch):
@@ -526,7 +589,6 @@ class StudentStreamer:
     def _make_chunk_fn(self, B, enc_idx, use_noise):
         pwn, cfg = self.pwn, self.pwn.cfg
         C, W = self.chunk, cfg.width
-        dtype = pwn.dtype or jnp.float32
         # Mosaic batch-tile rule (see make_flow_stack_fn): largest allowed
         # divisor of B — same resolution as feed_forward_pallas
         cands = [bt for bt in range(8, B + 1, 8)
@@ -561,33 +623,36 @@ class StudentStreamer:
 
                 new_groups = []
                 gi = 0
+                ms_out = None
                 for s in range(0, n_layers, cfg.num_stages):
                     nl = min(cfg.num_stages, n_layers - s)
+                    with_heads = s + nl >= n_layers
                     fn = flow_kernel_ops.make_flow_stack_fn(
                         nl, cfg.num_stages, W, B, C,
                         tile=self.tile, b_tile=b_tile,
                         interpret=self.interpret, compact=self.compact,
                         cond_features=enc_tm.shape[-1], time_major=True,
                         streaming=True, fuse_taps=True,
+                        # round-5: out-head epilogue in the final group
+                        # (same fusion as feed_forward_pallas fuse_heads)
+                        heads=with_heads, use_log_scale=cfg.use_log_scale,
                     )
                     l, g = fn(
                         l, enc_tm,
                         sw["w_tap"][s : s + nl], sw["b_eff"][s : s + nl],
                         sw["w_res"][s : s + nl], sw["b_res"][s : s + nl],
                         sw["w_cond"][s : s + nl], st["trunk"][gi],
+                        head_params=sw["head_kernel"] if with_heads else None,
                     )
+                    if with_heads:
+                        ms_out = l  # [C, B, 2] (mean, scale)
                     new_groups.append(g)
                     gi += 1
                 new_state.append({"xh": new_xh, "trunk": new_groups})
 
-                heads = sw["heads"]
-                l = jax.nn.relu(l.astype(dtype))
-                l = _mm_1x1(heads["out1"], l, dtype, dtype)
-                c = _mm_1x1(heads["mel_cond_out1"], enc_tm, dtype, dtype)
-                l = jax.nn.relu(l + c)
-                mean = _mm_1x1(heads["out2_mean"], l, dtype)
-                scale_params = _mm_1x1(heads["out2_scale"], l, dtype)
-                scale, log_scale = pwn.scale_log_scale(scale_params)
+                mean = ms_out[:, :, 0:1]
+                scale = ms_out[:, :, 1:2]
+                log_scale = jnp.log(scale)
                 iaf_x = iaf_x * scale + mean
                 mean_tot = mean + mean_tot * scale
                 scale_tot = scale_tot * scale
