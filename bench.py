@@ -24,9 +24,10 @@ timing.  A device profile showed the old full-batch fetch was measuring
 the debug TUNNEL, not the chip: kernel device time 142 us/step while the
 wall clock swung 197-427 us/step with tunnel load (the entire round-2
 "headline regression" was transfer weather).  Production serving egresses
-audio over PCIe/DCN at GB/s, not a tunnel; the one-off full fetch (for
-the finiteness gate) is still measured and reported as fetch_s_full so
-nothing is hidden.
+audio over PCIe/DCN at GB/s, not a tunnel; round 5 dropped even the
+one-off full fetch (BENCH_r04 paid 544 s of tunnel for it) — the
+finiteness gate is a device-side scalar reduce plus a 1 s / 4-row audio
+slice fetch, timed and reported as fetch_s_full.
 
 vs_baseline is the real-time factor (1.0 == real-time 16 kHz synthesis),
 the unit the reference's own "Delay" metric implies
@@ -123,12 +124,19 @@ def main():
                 gate_static=True,
             )
             # scalar witness: depends on every sample, so fetching it forces
-            # the full synthesis without shipping 32 MB through the tunnel
-            return audio, jnp.mean(jnp.abs(audio))
+            # the full synthesis without shipping 32 MB through the tunnel.
+            # The finiteness gate and a 1 s / 4-row audio slice ride the SAME
+            # program — a separate jit for them would pay a fresh remote
+            # compile (measured 459 s of "fetch" that was really compile).
+            return (
+                audio[:4, : min(SR, gen_len)],
+                jnp.mean(jnp.abs(audio)),
+                jnp.isfinite(audio).all(),
+            )
 
         gen_shipped = jax.jit(_shipped)
         gen = lambda p, m, s: gen_shipped(p, m, s, amax)
-        out_dev, _ = gen(params, mel, 1)
+        out_dev = gen(params, mel, 1)
         jax.block_until_ready(out_dev)
     except Exception as e:  # backend-specific pallas failure
         print(f"pallas path failed ({type(e).__name__}); XLA scan fallback",
@@ -139,19 +147,30 @@ def main():
             audio = fg.generate(
                 p, m, jax.random.PRNGKey(s), length=gen_len, precompute_cond=False
             )
-            return audio, jnp.mean(jnp.abs(audio))
+            return (
+                audio[:4, : min(SR, gen_len)],
+                jnp.mean(jnp.abs(audio)),
+                jnp.isfinite(audio).all(),
+            )
 
         gen = jax.jit(_fallback)
-        out_dev, _ = gen(params, mel, 1)
+        out_dev = gen(params, mel, 1)
         jax.block_until_ready(out_dev)
     compile_shipped = time.time() - t0
+    # finiteness gate WITHOUT the 32 MB tunnel fetch (round-4 VERDICT #8:
+    # BENCH_r04 spent 544 s shipping the full audio batch through the debug
+    # tunnel for a check the device does in-program): fetch the device-side
+    # finiteness scalar + the 1 s / 4-row slice the shipped program returns.
     t0 = time.time()
-    out = np.asarray(out_dev)  # one-off full fetch: finiteness gate + tunnel tax
+    out_slice = np.asarray(out_dev[0])
+    finite = bool(np.asarray(out_dev[2]))
     fetch_s_full = time.time() - t0
-    assert np.isfinite(out).all()
+    assert finite
+    assert np.isfinite(out_slice).all() and np.abs(out_slice).max() <= 1.0
     print(f"shipped path: {shipped_name}; compile+first run: "
-          f"{compile_shipped:.1f}s; full 32MB audio fetch: {fetch_s_full:.2f}s "
-          f"(tunnel tax, excluded from reps)", file=sys.stderr)
+          f"{compile_shipped:.1f}s; finiteness scalar + 1s slice fetch: "
+          f"{fetch_s_full:.2f}s (full 32MB fetch eliminated, round-5)",
+          file=sys.stderr)
 
     # ---- anchor: Pallas bf16 kernel (fixed since round 1) ----
     # the anchor is a FIXED reference program — pallas bf16 at B=512 (the
@@ -192,7 +211,7 @@ def main():
             np.asarray(anchor_gen(params, mel_anchor, 100 + i))
             anchor_times.append(time.time() - t0)
         t0 = time.time()
-        _, w = gen(params, mel, i)
+        _, w, _ = gen(params, mel, i)
         witness = float(np.asarray(w))
         shipped_times.append(time.time() - t0)
     assert np.isfinite(witness), witness
