@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also time the W8A8 (calibrated static-scale) "
                          "kernel variant as a third interleaved arm")
+    ap.add_argument("--fuse_cond", action="store_true",
+                    help="fold the cond matmul into the fused tap issue "
+                         "(K=3W+DW) in the pallas arm")
+    ap.add_argument("--lpc", type=int, default=0,
+                    help="layers_per_call for the pallas arm (0 = one "
+                         "dilation cycle; 30 fuses the whole long flow)")
     ap.add_argument("--profile", action="store_true",
                     help="also capture a device trace of one pallas batch")
     args = ap.parse_args()
@@ -78,7 +84,8 @@ def main():
         @jax.jit
         def synth_pl(params, mel, rng):
             audio = parallelgen.synthesize_pallas(
-                pwn, params, mel, rng, tile=args.tile, b_tile=args.b_tile
+                pwn, params, mel, rng, tile=args.tile, b_tile=args.b_tile,
+                layers_per_call=args.lpc, fuse_cond=args.fuse_cond,
             )
             return audio, jnp.mean(jnp.abs(audio))
 

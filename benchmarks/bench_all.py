@@ -151,6 +151,148 @@ def bench_iaf(results, quick):
         print(f"{name}: {results[name]}", file=sys.stderr)
 
 
+def bench_delay(results, quick):
+    """Per-utterance latency ("Delay", the reference's own built-in metric:
+    wall-clock / audio-seconds, wavenet/parallelgen.py:46-50) at B=1 and
+    B=8 — the interactive-vocoding case the throughput rows (B>=16) hide.
+
+    AR kernel note: the fastgen kernel requires batch % 8 == 0, so the B=1
+    row runs the B=8 program with one real utterance (7 rows synthesize
+    unused audio).  That IS the single-request latency this engine
+    delivers — per-sample serialization means the wasted rows ride the
+    same dependency chain, not extra wall-clock.  Student B=1 runs the
+    flow kernel with b_tile == batch == 1 (the kernel's whole-batch rule).
+    Scalar-witness timing; medians of `runs` reps.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nsynth_wavenet_tpu import config as config_lib
+    from nsynth_wavenet_tpu.models import parallelgen
+    from nsynth_wavenet_tpu.models.fastgen import Fastgen
+    from nsynth_wavenet_tpu.models.parallel_wavenet import ParallelWavenet
+    from nsynth_wavenet_tpu.models.wavenet import Wavenet
+
+    sec = 1.0 if quick else 4.0
+    L = int(16000 * sec)
+    runs = 3 if quick else 5
+
+    # ---- AR teacher (bf16 + W8A8 static) ----
+    te_cfg = config_lib.WavenetConfig(
+        loss_type="mol", use_mu_law=False, double_gate_width=False,
+        upsample_act="leaky_relu",
+    )
+    teacher = Wavenet(te_cfg)
+    te_params = teacher.init_params(jax.random.PRNGKey(0))
+    fg = Fastgen(teacher)
+    wav8, mel8 = _wav_mel(8, L)
+    gen_len = (mel8.shape[1] - 1) * 200
+    amax = jax.jit(fg.calibrate_act_amax)(
+        te_params, jnp.asarray(wav8), jnp.asarray(mel8)
+    )
+
+    def ar_arm(name, use_amax=False, **kw):
+        # batch 8 is the kernel minimum, so B=1 and B=8 run the SAME
+        # program — one measurement, two rows (B=1: one real request,
+        # 7 wasted rows; per-sample serialization means the wasted rows
+        # ride the same dependency chain, not extra wall-clock)
+        fn = jax.jit(lambda p, m, s, am: (lambda a: jnp.mean(jnp.abs(a)))(
+            fg.generate_pallas(
+                p, m, s, length=gen_len,
+                act_amax=am if use_amax else None, **kw)))
+        key = f"delay_{name}_B1"
+        try:
+            t0 = time.time()
+            w = float(np.asarray(fn(te_params, mel8, 1, amax)))
+            compile_s = time.time() - t0
+            assert np.isfinite(w)
+            times = []
+            for i in range(runs):
+                t0 = time.time()
+                np.asarray(fn(te_params, mel8, i + 2, amax))
+                times.append(time.time() - t0)
+            med = float(np.median(times))
+            audio_sec = gen_len / 16000.0  # ONE utterance
+            results[key] = {
+                "delay": round(med / audio_sec, 4),
+                "realtime_factor": round(audio_sec / med, 3),
+                "batch_padded_to": 8,
+                "utterance_sec": round(audio_sec, 2),
+                "compile_s": round(compile_s, 1),
+            }
+            results[f"delay_{name}_B8"] = dict(
+                results[key],
+                note="same program; 8 concurrent utterances per call",
+            )
+        except Exception as e:
+            results[key] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(f"{key}: {results[key]}", file=sys.stderr)
+
+    ar_arm("ar_int8s", use_amax=True, weight_dtype=jnp.int8, gate_static=True)
+    ar_arm("ar_bf16", weight_dtype=jnp.bfloat16)
+
+    # ---- student one-shot (fused kernel) + streaming ----
+    st_cfg = config_lib.ParallelWavenetConfig(
+        loss_type="logistic", use_share_deconv=True, upsample_act="leaky_relu",
+    )
+    pwn = ParallelWavenet(st_cfg)
+    st_params = pwn.init_params(jax.random.PRNGKey(0))
+    for B in (1, 8):
+        wav, mel = _wav_mel(B, L)
+        mel = jnp.asarray(mel)
+        utt_sec = pwn.sample_length(mel.shape[1]) / 16000.0
+        fn = jax.jit(lambda p, m, r: jnp.mean(jnp.abs(
+            parallelgen.synthesize_pallas(pwn, p, m, r))))
+        key = f"delay_student_oneshot_B{B}"
+        try:
+            t0 = time.time()
+            w = float(np.asarray(fn(st_params, mel, jax.random.PRNGKey(0))))
+            compile_s = time.time() - t0
+            assert np.isfinite(w)
+            times = []
+            for i in range(runs):
+                t0 = time.time()
+                np.asarray(fn(st_params, mel, jax.random.PRNGKey(i)))
+                times.append(time.time() - t0)
+            med = float(np.median(times))
+            results[key] = {
+                "delay": round(med / utt_sec, 4),
+                "realtime_factor": round(utt_sec / med, 3),
+                "batch": B,
+                "utterance_sec": round(utt_sec, 2),
+                "compile_s": round(compile_s, 1),
+            }
+        except Exception as e:
+            results[key] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(f"{key}: {results[key]}", file=sys.stderr)
+
+        key = f"delay_student_streaming_B{B}"
+        try:
+            st = parallelgen.StudentStreamer(pwn, chunk=16384)
+            t0 = time.time()
+            a = st.synthesize(st_params, mel, jax.random.PRNGKey(0))
+            compile_s = time.time() - t0
+            assert np.isfinite(a).all()
+            times = []
+            for i in range(runs):
+                t0 = time.time()
+                st.synthesize(st_params, mel, jax.random.PRNGKey(i))
+                times.append(time.time() - t0)
+            med = float(np.median(times))
+            results[key] = {
+                "delay": round(med / utt_sec, 4),
+                "realtime_factor": round(utt_sec / med, 3),
+                "batch": B,
+                "utterance_sec": round(utt_sec, 2),
+                "chunk": 16384,
+                "compile_s": round(compile_s, 1),
+                "note": "incl. the tunnel audio fetch (streamer returns np)",
+            }
+        except Exception as e:
+            results[key] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(f"{key}: {results[key]}", file=sys.stderr)
+
+
 def bench_teacher_train(results, quick):
     import jax
 
@@ -272,7 +414,8 @@ def bench_student_train(results, quick):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", default="", help="comma list: ar,iaf,teacher,student")
+    ap.add_argument("--only", default="",
+                    help="comma list: ar,iaf,delay,teacher,student")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     results = {}
@@ -280,6 +423,8 @@ if __name__ == "__main__":
         bench_ar(results, args.quick)
     if only is None or "iaf" in only:
         bench_iaf(results, args.quick)
+    if only is None or "delay" in only:
+        bench_delay(results, args.quick)
     if only is None or "teacher" in only:
         bench_teacher_train(results, args.quick)
     if only is None or "student" in only:

@@ -13,11 +13,12 @@ Two compute paths:
     emitter and round-trips the [B, L, 64] stream through HBM per layer.
   * fused Pallas (`feed_forward_pallas` / `synthesize_pallas`): each flow's
     dilated trunk runs as chained ops/flow_kernel stack calls (one per
-    num_stages-layer dilation cycle) with all inter-layer activations in
-    VMEM and the per-layer mel-cond 1x1s computed IN-KERNEL from the raw
-    deconv encoding; the whole path is time-major so HBM sees no layout
-    copies; start conv, out heads and the f32 flow composition stay in
-    XLA (elementwise streams XLA fuses fine — docs/student_kernel_plan.md).
+    num_stages-layer dilation cycle; `layers_per_call` fuses whole cycles)
+    with all inter-layer activations in VMEM, the per-layer mel-cond 1x1s
+    computed IN-KERNEL from the raw deconv encoding; the whole path is
+    time-major so HBM sees no layout copies; the start conv, out heads
+    and f32 flow composition stay in XLA (measured round-5: an in-kernel
+    out-head epilogue was 20% SLOWER — profile_student_tail.py).
   * streaming (`StudentStreamer`): the fused path chunk-by-chunk with
     carried dilation state — ONE compiled program serves any utterance
     length (the AR path's generate_streaming design).
@@ -79,29 +80,9 @@ def _mm_1x1(p, x, dtype, out_dtype=None):
     return y + p["b"].astype(y.dtype)
 
 
-def _head_params_for_kernel(flow_params):
-    """Flow out-head weights in the kernel epilogue's layout: out1 /
-    mel_cond_out1 1x1s plus the out2_mean|out2_scale pair fused into one
-    [W, 2] matmul (column 0 mean, column 1 raw scale params)."""
-    eff = conv_ops.effective_kernel
-    return {
-        "w_out1": eff(flow_params["out1"])[0],
-        "b_out1": flow_params["out1"]["b"],
-        "w_cond_out1": eff(flow_params["mel_cond_out1"])[0],
-        "b_cond_out1": flow_params["mel_cond_out1"]["b"],
-        "w_ms": jnp.concatenate(
-            [eff(flow_params["out2_mean"])[0],
-             eff(flow_params["out2_scale"])[0]], axis=1,
-        ),
-        "b_ms": jnp.concatenate(
-            [flow_params["out2_mean"]["b"], flow_params["out2_scale"]["b"]]
-        ),
-    }
-
-
 def _iaf_flow_pallas(
     pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret,
-    compact, amax=None, fuse_heads=False
+    compact, amax=None, layers_per_call=0, fuse_cond=False
 ):
     """One IAF flow with the dilated trunk in the fused Pallas kernel.
 
@@ -142,13 +123,20 @@ def _iaf_flow_pallas(
     # keeps each call's carry scratch inside the VMEM budget); mel-cond
     # biases fold into the dilated-conv biases
     b_eff = sw["b"] + sw["b_cond"]
-    fuse_heads = fuse_heads and amax is None  # heads epilogue is bf16-only
+    # layers_per_call: how many layers each pallas_call covers.  Default =
+    # one dilation cycle (num_stages).  A multiple of num_stages fuses
+    # whole cycles into one call — fewer kernel launches and the [L, B, W]
+    # trunk stream stops round-tripping HBM between cycles (at B=32/4 s
+    # that handoff is ~0.5 GB written + read per boundary); the carry
+    # scratch grows linearly (12.6 MB at 30 layers/b_tile=8) but fits the
+    # 100 MB scoped-VMEM budget.  The 2^(i % num_stages) pattern is
+    # preserved for any multiple because the kernel indexes dilations mod
+    # num_stages.
+    group = layers_per_call or cfg.num_stages
+    assert group % cfg.num_stages == 0, (group, cfg.num_stages)
     enc_q = None
-    out = None
-    for s in range(0, n_layers, cfg.num_stages):
-        nl = min(cfg.num_stages, n_layers - s)
-        is_last = s + nl >= n_layers
-        with_heads = fuse_heads and is_last
+    for s in range(0, n_layers, group):
+        nl = min(group, n_layers - s)
         qkw = {}
         if amax is not None:
             qkw = dict(act_amax=amax["trunk"][s : s + nl],
@@ -161,10 +149,7 @@ def _iaf_flow_pallas(
             # the kernel is MXU-issue-bound (RESULTS.md round-4 probes);
             # measured ~6% per stack call at the shipped shape
             fuse_taps=amax is None,
-            # round-5: the flow's out-head runs as a kernel epilogue on
-            # the final stack call — the XLA head chain was the dominant
-            # non-kernel share after the round-4 wins (RESULTS.md round 5)
-            heads=with_heads, use_log_scale=cfg.use_log_scale, **qkw,
+            fuse_cond=fuse_cond and amax is None, **qkw,
         )
         enc_in = enc_tm
         if amax is not None:
@@ -179,26 +164,20 @@ def _iaf_flow_pallas(
             sw["w_res"][s : s + nl],
             sw["b_res"][s : s + nl],
             sw["w_cond"][s : s + nl],
-            head_params=_head_params_for_kernel(flow_params)
-            if with_heads else None,
         )
-        if with_heads:
-            out = l  # [L, B, 2] (mean, scale)
 
-    if fuse_heads:
-        mean = out[:, :, 0:1]
-        scale = out[:, :, 1:2]
-        log_scale = jnp.log(scale)
-    else:
-        # out heads (XLA, time-major 1x1 matmuls): identical math to
-        # _create_iaf's tail
-        l = jax.nn.relu(l.astype(dtype))
-        l = _mm_1x1(flow_params["out1"], l, dtype, dtype)
-        c = _mm_1x1(flow_params["mel_cond_out1"], enc_tm, dtype, dtype)
-        l = jax.nn.relu(l + c)
-        mean = _mm_1x1(flow_params["out2_mean"], l, dtype)
-        scale_params = _mm_1x1(flow_params["out2_scale"], l, dtype)
-        scale, log_scale = pwn.scale_log_scale(scale_params)
+    # out heads (XLA, time-major 1x1 matmuls): identical math to
+    # _create_iaf's tail.  Measured (round-5, profile_student_tail.py):
+    # KEEP these in XLA — the large-M head matmuls cost ~19 ms at B=32/4 s
+    # where an in-kernel epilogue doing the same math cost ~50 ms (the
+    # kernel is issue-bound; XLA's tail share is 17% and mostly NOT heads).
+    l = jax.nn.relu(l.astype(dtype))
+    l = _mm_1x1(flow_params["out1"], l, dtype, dtype)
+    c = _mm_1x1(flow_params["mel_cond_out1"], enc_tm, dtype, dtype)
+    l = jax.nn.relu(l + c)
+    mean = _mm_1x1(flow_params["out2_mean"], l, dtype)
+    scale_params = _mm_1x1(flow_params["out2_scale"], l, dtype)
+    scale, log_scale = pwn.scale_log_scale(scale_params)
     return {
         "x": x * scale + mean,
         "mean": mean,
@@ -322,17 +301,13 @@ def feed_forward_pallas(
     interpret: bool = None,
     compact: bool = None,
     act_amax=None,
-    fuse_heads: bool = True,
+    layers_per_call: int = 0,
+    fuse_cond: bool = False,
 ):
     """ParallelWavenet.feed_forward with the flow trunks in the fused
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
 
-    fuse_heads (round-5, bf16 path): each flow's out-head runs as an
-    epilogue inside its final stack call (ops/flow_kernel heads mode)
-    instead of an XLA 1x1 chain over the [L, B, W] trunk stream — the
-    stream never round-trips HBM and the kernel output shrinks to
-    [L, B, 2].  Ignored in W8A8 mode (epilogue is bf16-only).
 
     act_amax: per-flow static activation scales from
     calibrate_student_act_amax — runs the trunks as **W8A8 int8** (2x MXU
@@ -401,7 +376,7 @@ def feed_forward_pallas(
             pwn, fp, iaf_x, enc_tm, fi,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
             amax=None if act_amax is None else act_amax[fi],
-            fuse_heads=fuse_heads,
+            layers_per_call=layers_per_call, fuse_cond=fuse_cond,
         )
         iaf_x = iaf_dict["x"]
         scale = iaf_dict["scale"]
@@ -550,7 +525,9 @@ class StudentStreamer:
                 sw = dict(sw, b_eff=sw["b"] + sw["b_cond"],
                           w_start=conv_ops.effective_kernel(fp["start_conv"]),
                           b_start=fp["start_conv"]["b"],
-                          head_kernel=_head_params_for_kernel(fp))
+                          heads={k: fp[k] for k in
+                                 ("out1", "mel_cond_out1", "out2_mean",
+                                  "out2_scale")})
                 flows.append(sw)
             return flows
 
@@ -623,36 +600,34 @@ class StudentStreamer:
 
                 new_groups = []
                 gi = 0
-                ms_out = None
                 for s in range(0, n_layers, cfg.num_stages):
                     nl = min(cfg.num_stages, n_layers - s)
-                    with_heads = s + nl >= n_layers
                     fn = flow_kernel_ops.make_flow_stack_fn(
                         nl, cfg.num_stages, W, B, C,
                         tile=self.tile, b_tile=b_tile,
                         interpret=self.interpret, compact=self.compact,
                         cond_features=enc_tm.shape[-1], time_major=True,
                         streaming=True, fuse_taps=True,
-                        # round-5: out-head epilogue in the final group
-                        # (same fusion as feed_forward_pallas fuse_heads)
-                        heads=with_heads, use_log_scale=cfg.use_log_scale,
                     )
                     l, g = fn(
                         l, enc_tm,
                         sw["w_tap"][s : s + nl], sw["b_eff"][s : s + nl],
                         sw["w_res"][s : s + nl], sw["b_res"][s : s + nl],
                         sw["w_cond"][s : s + nl], st["trunk"][gi],
-                        head_params=sw["head_kernel"] if with_heads else None,
                     )
-                    if with_heads:
-                        ms_out = l  # [C, B, 2] (mean, scale)
                     new_groups.append(g)
                     gi += 1
                 new_state.append({"xh": new_xh, "trunk": new_groups})
 
-                mean = ms_out[:, :, 0:1]
-                scale = ms_out[:, :, 1:2]
-                log_scale = jnp.log(scale)
+                heads = sw["heads"]
+                dtype = pwn.dtype or jnp.float32
+                l = jax.nn.relu(l.astype(dtype))
+                l = _mm_1x1(heads["out1"], l, dtype, dtype)
+                c = _mm_1x1(heads["mel_cond_out1"], enc_tm, dtype, dtype)
+                l = jax.nn.relu(l + c)
+                mean = _mm_1x1(heads["out2_mean"], l, dtype)
+                scale_params = _mm_1x1(heads["out2_scale"], l, dtype)
+                scale, log_scale = pwn.scale_log_scale(scale_params)
                 iaf_x = iaf_x * scale + mean
                 mean_tot = mean + mean_tot * scale
                 scale_tot = scale_tot * scale

@@ -64,8 +64,7 @@ def make_flow_stack_fn(
     probe: str = None,
     allow_wrong_output: bool = False,
     fuse_taps: bool = False,
-    heads: bool = False,
-    use_log_scale: bool = False,
+    fuse_cond: bool = False,
 ):
     """Build fn(x [B, L, W] f32, cond [B, L, NL*W] f32, w_tap [NL, 3, W, W],
     b [NL, W], w_res [NL, m, W], b_res [NL, W]) -> l_out [B, L, W] f32
@@ -149,24 +148,14 @@ def make_flow_stack_fn(
     bound, so trading VPU assembly copies for fewer serialized issues may
     pay (same math: the stacked [3W, W] weight matches the concat order).
 
-    heads (bf16 enc mode): run the flow's OUT-HEAD inside the kernel as an
-    epilogue after the last layer — relu -> out1 1x1 -> + mel_cond_out1
-    (vs the resident enc tile) -> relu -> fused out2_mean/out2_scale
-    ([W, 2] matmul) -> scale nonlinearity — and return [L, B, 2]
-    (mean, scale) instead of the [L, B, W] trunk stream.  Motivation
-    (round-5 profile): after the round-4 kernel wins the XLA head chain
-    round-trips the [L, B, W] stream through HBM ~6x per flow
-    (relu/out1/cond/relu/mean/scale) and became the dominant non-kernel
-    share; in-kernel it is 3 extra matmul issues on VMEM-resident tiles
-    and the kernel's HBM output shrinks W/2 = 32x.  The epilogue expects
-    w_out1/b_out1/w_cond_out1/b_cond_out1 (cond bias pre-added into
-    b_out1 upstream is NOT assumed — both biases are taken) and the
-    fused w_ms [W, 2] / b_ms [2] (column 0 = mean, column 1 = raw scale
-    params).  use_log_scale selects the scale nonlinearity
-    (reference PWNHelper.scale_log_scale_fn, parallel_wavenet.py:105-114):
-    False -> clip(softplus, e^-9, e^7); True -> exp(clip(. , -9, 7)).
-    Math parity: models/parallel_wavenet._create_iaf's tail
-    (reference parallel_wavenet.py:256-287) at bf16-matmul tolerance.
+    NOTE (round-5 negative result): an out-head kernel epilogue
+    (relu -> out1 -> +mel_cond_out1 -> relu -> fused mean|scale) was
+    built, parity-gated, and measured 20% SLOWER end-to-end than leaving
+    the head chain in XLA (247 vs 197 ms at B=32; the epilogue's 3 extra
+    per-grid-step matmul issues cost ~50 ms where XLA's large-M head
+    matmuls cost ~19 ms — an issue-bound kernel pays ~2.6x for the same
+    math).  The mode was removed; benchmarks/RESULTS.md round 5 records
+    the numbers and benchmarks/profile_student_tail.py the decomposition.
     """
     assert probe in (None, "no_slide", "no_gate"), probe
     assert probe is None or allow_wrong_output, (
@@ -199,9 +188,14 @@ def make_flow_stack_fn(
         act_amax = np.maximum(np.asarray(act_amax, np.float64), 1e-8)
         assert act_amax.shape == (n_layers,), act_amax.shape
         enc_amax = max(float(enc_amax), 1e-8)
-    if heads:
-        assert cond_features, "heads epilogue needs the enc tile (enc mode)"
-        assert not quant, "heads epilogue is bf16-only (like fuse_taps)"
+    if fuse_cond:
+        # one K = 3W + DW issue per layer: the enc tile joins the fused
+        # tap block and the cond weight column-stacks under the tap weight
+        # — trades one more VPM assembly copy for one fewer serialized MXU
+        # issue (the kernel is issue-bound; same logic as fuse_taps)
+        assert fuse_taps and cond_features and not quant, (
+            "fuse_cond extends the fused-tap block (bf16 enc mode only)"
+        )
     cond_dt = jnp.int8 if quant else (jnp.bfloat16 if compact else jnp.float32)
     w_dt = jnp.bfloat16 if compact else jnp.float32
     cdt = carry_dtype if carry_dtype is not None else (
@@ -219,14 +213,6 @@ def make_flow_stack_fn(
         wcond_ref = None
         if cond_features:
             wcond_ref = refs[i]; i += 1  # [NL, DW, W]
-        ho1_ref = hb1_ref = hco_ref = hbc_ref = hms_ref = hbm_ref = None
-        if heads:
-            ho1_ref = refs[i]; i += 1   # [W, W]   out1
-            hb1_ref = refs[i]; i += 1   # [1, W]
-            hco_ref = refs[i]; i += 1   # [DW, W]  mel_cond_out1
-            hbc_ref = refs[i]; i += 1   # [1, W]
-            hms_ref = refs[i]; i += 1   # [W, 2]   fused out2_mean|out2_scale
-            hbm_ref = refs[i]; i += 1   # [1, 2]
         dqtap_ref = dqcond_ref = dqres_ref = None
         if quant:
             dqtap_ref = refs[i]; i += 1   # [NL, W] f32 act*weight dequant
@@ -307,7 +293,29 @@ def make_flow_stack_fn(
                 x1 = buf[d : d + tile]
                 x0 = l
                 wt = wtap_ref[li]  # [3, W, W]
-                if fuse_taps:
+                if fuse_taps and fuse_cond:
+                    xcat = jnp.concatenate(
+                        [
+                            x2.reshape(tile * B, W),
+                            x1.reshape(tile * B, W),
+                            x0.reshape(tile * B, W),
+                            cond_ref[...]
+                            .reshape(tile * B, cond_features)
+                            .astype(jnp.float32),
+                        ],
+                        axis=1,
+                    ).astype(jnp.bfloat16)
+                    wcat = jnp.concatenate(
+                        [
+                            wt.reshape(3 * W, W).astype(jnp.bfloat16),
+                            wcond_ref[li].astype(jnp.bfloat16),
+                        ],
+                        axis=0,
+                    )
+                    acc = jnp.dot(
+                        xcat, wcat, preferred_element_type=jnp.float32
+                    )
+                elif fuse_taps:
                     xcat = jnp.concatenate(
                         [
                             x2.reshape(tile * B, W),
@@ -337,7 +345,9 @@ def make_flow_stack_fn(
                         wt[2].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32,
                     )
-                if cond_features:
+                if fuse_cond:
+                    cond_li = 0.0  # folded into the fused tap matmul
+                elif cond_features:
                     # bf16 only in compact mode — non-compact keeps the
                     # cond projection f32, matching stream-mode precision
                     mm_dt = jnp.bfloat16 if compact else jnp.float32
@@ -402,40 +412,7 @@ def make_flow_stack_fn(
                         h = h * (act_amax[li] / 127.0)
                     state_out_ref[offs[li] : offs[li + 1]] = h
             l = l + res
-        if heads:
-            # out-head epilogue on the VMEM-resident trunk stream (math:
-            # _create_iaf's tail, reference parallel_wavenet.py:256-287)
-            # head matmuls follow the model's compute dtype (the XLA tail
-            # runs them at pwn.dtype): bf16 model -> bf16 MXU issues,
-            # f32 model -> f32 so parity gates track XLA at f32 tolerance
-            mm_dt = jnp.bfloat16 if compact else jnp.float32
-            h = jnp.maximum(l, 0.0).reshape(tile * B, W)
-            h = jnp.dot(
-                h.astype(mm_dt), ho1_ref[...].astype(mm_dt),
-                preferred_element_type=jnp.float32,
-            ) + hb1_ref[...]
-            c = jnp.dot(
-                cond_ref[...].reshape(tile * B, cond_features).astype(mm_dt),
-                hco_ref[...].astype(mm_dt),
-                preferred_element_type=jnp.float32,
-            ) + hbc_ref[...]
-            h = jnp.maximum(h + c, 0.0)
-            ms = jnp.dot(
-                h.astype(mm_dt), hms_ref[...].astype(mm_dt),
-                preferred_element_type=jnp.float32,
-            ) + hbm_ref[...]
-            ms = ms.reshape(tile, B, 2)
-            mean = ms[:, :, 0:1]
-            sp = ms[:, :, 1:2]
-            if use_log_scale:
-                scale = jnp.exp(jnp.clip(sp, -9.0, 7.0))
-            else:
-                scale = jnp.clip(
-                    jax.nn.softplus(sp), np.exp(-9.0), np.exp(7.0)
-                )
-            out_ref[...] = jnp.concatenate([mean, scale], axis=-1)
-        else:
-            out_ref[...] = l
+        out_ref[...] = l
 
     in_specs = [
         pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0)),
@@ -453,15 +430,6 @@ def make_flow_stack_fn(
         in_specs.append(
             pl.BlockSpec((n_layers, cond_features, W), lambda bi, t: (0, 0, 0))
         )
-    if heads:
-        in_specs += [
-            pl.BlockSpec((W, W), lambda bi, t: (0, 0)),
-            pl.BlockSpec((1, W), lambda bi, t: (0, 0)),
-            pl.BlockSpec((cond_features, W), lambda bi, t: (0, 0)),
-            pl.BlockSpec((1, W), lambda bi, t: (0, 0)),
-            pl.BlockSpec((W, 2), lambda bi, t: (0, 0)),
-            pl.BlockSpec((1, 2), lambda bi, t: (0, 0)),
-        ]
     if quant:
         for _ in range(3):  # dq_tap, dq_cond, dq_res
             in_specs.append(pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)))
@@ -482,9 +450,8 @@ def make_flow_stack_fn(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    out_w = 2 if heads else W
-    out_shape = jax.ShapeDtypeStruct((length, batch, out_w), jnp.float32)
-    out_specs = pl.BlockSpec((tile, B, out_w), lambda bi, t: (t, bi, 0))
+    out_shape = jax.ShapeDtypeStruct((length, batch, W), jnp.float32)
+    out_specs = pl.BlockSpec((tile, B, W), lambda bi, t: (t, bi, 0))
     if streaming:
         out_shape = [
             out_shape,
@@ -505,8 +472,7 @@ def make_flow_stack_fn(
         **kwargs,
     )
 
-    def fn(x, cond, w_tap, b, w_res, b_res, w_cond=None, state=None,
-           head_params=None):
+    def fn(x, cond, w_tap, b, w_res, b_res, w_cond=None, state=None):
         # [B, L, W] -> time-major [L, B, W] so the grid tiles the length;
         # cond [B, L, NL*W] -> [L, NL, B, W] so per-layer slices stay
         # tile-aligned; in enc mode cond is the raw encoding [B, L, DW] ->
@@ -573,17 +539,6 @@ def make_flow_stack_fn(
             extra = (w_cond.astype(w_dt),)
         else:
             extra = ()
-        if heads:
-            hp = head_params
-            assert hp is not None, "heads mode needs head_params"
-            extra = extra + (
-                hp["w_out1"].astype(w_dt),
-                hp["b_out1"].astype(jnp.float32).reshape(1, W),
-                hp["w_cond_out1"].astype(w_dt),
-                hp["b_cond_out1"].astype(jnp.float32).reshape(1, W),
-                hp["w_ms"].astype(w_dt),
-                hp["b_ms"].astype(jnp.float32).reshape(1, 2),
-            )
         if streaming:
             assert state is not None, "streaming mode needs the carry state"
             extra = extra + (state.astype(jnp.float32),)
