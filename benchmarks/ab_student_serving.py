@@ -52,9 +52,6 @@ def main():
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--b_tile", type=int, default=8)
     ap.add_argument("--reps", type=int, default=6)
-    ap.add_argument("--int8", action="store_true",
-                    help="also time the W8A8 (calibrated static-scale) "
-                         "kernel variant as a third interleaved arm")
     ap.add_argument("--fuse_cond", action="store_true",
                     help="fold the cond matmul into the fused tap issue "
                          "(K=3W+DW) in the pallas arm")
@@ -90,20 +87,6 @@ def main():
             return audio, jnp.mean(jnp.abs(audio))
 
         arms = [("xla", synth_xla), ("pallas", synth_pl)]
-        if args.int8:
-            amax = parallelgen.calibrate_student_act_amax(
-                pwn, params, mel[: min(B, 8)], jax.random.PRNGKey(42)
-            )
-
-            @jax.jit
-            def synth_q(params, mel, rng):
-                audio = parallelgen.synthesize_pallas(
-                    pwn, params, mel, rng, tile=args.tile,
-                    b_tile=args.b_tile, act_amax=amax,
-                )
-                return audio, jnp.mean(jnp.abs(audio))
-
-            arms.append(("pallas_int8", synth_q))
 
         fns = {}
         for name, f in arms:
@@ -139,10 +122,6 @@ def main():
         speedups[B] = meds["xla"] / meds["pallas"]
         print(f"B={B} pallas end-to-end speedup: {speedups[B]:.2f}x "
               f"(done bar: >= 2x)")
-        if "pallas_int8" in meds:
-            print(f"B={B} pallas_int8 vs pallas: "
-                  f"{meds['pallas'] / meds['pallas_int8']:.2f}x "
-                  f"(vs xla {meds['xla'] / meds['pallas_int8']:.2f}x)")
 
     if args.profile:
         B = max(speedups)

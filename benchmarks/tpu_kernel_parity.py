@@ -250,7 +250,7 @@ def check_golden_student():
 
 
 def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
-                     enc_mode=False, quant=False, fuse=False):
+                     enc_mode=False, fuse=False):
     """COMPILED-mode flow-stack kernel parity on TPU (round-3 VERDICT #2).
 
     Interpret mode hid both round-3 Mosaic miscompiles (bf16 carries wrong
@@ -289,21 +289,15 @@ def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
             x, cond, w_tap, b, w_res, b_res
         )
     )
-    qkw = {}
-    if quant:
-        assert enc_mode
-        qkw = dict(act_amax=np.full(n_layers, float(np.abs(want).max()) * 1.2
-                                    + 1.0),
-                   enc_amax=float(np.abs(np.asarray(enc)).max()))
     fn = flk.make_flow_stack_fn(
         n_layers, num_stages, W, Bf, L, tile=tile, b_tile=b_tile,
         compact=compact, cond_features=DW if enc_mode else 0,
-        time_major=enc_mode, fuse_taps=fuse, **qkw,
+        time_major=enc_mode, fuse_taps=fuse,
     )
     if enc_mode:
         cdt = jnp.bfloat16 if compact else jnp.float32
         enc_tm = jnp.transpose(enc, (1, 0, 2))
-        enc_in = fn.quantize_enc(enc_tm) if quant else enc_tm.astype(cdt)
+        enc_in = enc_tm.astype(cdt)
         got = np.asarray(jax.jit(lambda *a: jnp.transpose(fn(*a), (1, 0, 2)))(
             jnp.transpose(x, (1, 0, 2)), enc_in,
             w_tap, b, w_res, b_res, w_cond,
@@ -313,12 +307,12 @@ def check_flow_stack(n_layers, num_stages, tile, L, compact, b_tile=0,
             jax.jit(fn)(x, cond, w_tap, b, w_res, b_res)
         )
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
-    tol = 5e-2 if quant else 2e-2
+    tol = 2e-2
     ok = err < tol and np.isfinite(got).all()
     print(
         f"flow_stack[NL={n_layers}/st={num_stages}/tile={tile}/L={L}/"
         f"compact={compact}/bt={b_tile or Bf}/enc={enc_mode}"
-        f"{'/W8A8' if quant else ''}{'/fused' if fuse else ''}]: "
+        f"{'/fused' if fuse else ''}]: "
         f"rel_err {err:.5f} (tol {tol}) {'OK' if ok else 'FAIL'}",
         file=sys.stderr,
     )
@@ -429,12 +423,6 @@ def main():
     #    serving configuration since the round-4 probe study)
     ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True,
                            fuse=True)
-    #  - W8A8 static-scale variant (int8 MXU + int8 carries) at the full
-    #    ladder and the 2d>tile slide
-    ok &= check_flow_stack(10, 10, 128, 1280, compact=True, enc_mode=True,
-                           quant=True)
-    ok &= check_flow_stack(5, 5, 16, 96, compact=False, b_tile=8,
-                           enc_mode=True, quant=True)
     ok &= check_student_integrated()
     ok &= check_student_streaming()
     ok &= check_golden_freerun()

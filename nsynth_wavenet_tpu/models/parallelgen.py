@@ -82,7 +82,7 @@ def _mm_1x1(p, x, dtype, out_dtype=None):
 
 def _iaf_flow_pallas(
     pwn, flow_params, x, enc_tm, flow_idx, *, tile, b_tile, interpret,
-    compact, amax=None, layers_per_call=0, fuse_cond=False
+    compact, layers_per_call=0, fuse_cond=False
 ):
     """One IAF flow with the dilated trunk in the fused Pallas kernel.
 
@@ -134,13 +134,8 @@ def _iaf_flow_pallas(
     # num_stages.
     group = layers_per_call or cfg.num_stages
     assert group % cfg.num_stages == 0, (group, cfg.num_stages)
-    enc_q = None
     for s in range(0, n_layers, group):
         nl = min(group, n_layers - s)
-        qkw = {}
-        if amax is not None:
-            qkw = dict(act_amax=amax["trunk"][s : s + nl],
-                       enc_amax=amax["enc"])
         fn = flow_kernel_ops.make_flow_stack_fn(
             nl, cfg.num_stages, W, B, L,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
@@ -148,17 +143,12 @@ def _iaf_flow_pallas(
             # one K=3W tap issue per layer instead of three K=W issues:
             # the kernel is MXU-issue-bound (RESULTS.md round-4 probes);
             # measured ~6% per stack call at the shipped shape
-            fuse_taps=amax is None,
-            fuse_cond=fuse_cond and amax is None, **qkw,
+            fuse_taps=True,
+            fuse_cond=fuse_cond,
         )
-        enc_in = enc_tm
-        if amax is not None:
-            if enc_q is None:
-                enc_q = fn.quantize_enc(enc_tm)
-            enc_in = enc_q
         l = fn(
             l,
-            enc_in,
+            enc_tm,
             sw["w_tap"][s : s + nl],
             b_eff[s : s + nl],
             sw["w_res"][s : s + nl],
@@ -186,110 +176,6 @@ def _iaf_flow_pallas(
     }
 
 
-def calibrate_student_act_amax(pwn: ParallelWavenet, params, mel, rng,
-                               margin: float = 1.1, n_seeds: int = 1):
-    """Per-flow static activation scales for the W8A8 flow kernel.
-
-    Replays the flow trunks in XLA on calibration mels (same math as the
-    kernel: stacked weights, bf16 matmuls) recording each layer's INPUT
-    abs-max and each flow's encoding abs-max — the quantities the kernel's
-    static scales quantize (the AR kernel's calibrate_act_amax recipe,
-    models/fastgen.py).  `margin` inflates the maxima: serving noise draws
-    differ from the calibration draw, and a clipped activation costs more
-    than a slightly coarser step.  `n_seeds` replays the trunks under
-    several independent base-noise draws (rng folded per seed) and takes
-    the elementwise max BEFORE the margin — serving draws then sit inside
-    the calibrated range with high probability instead of leaning on the
-    margin alone; the calibration mels should also be representative of
-    serving utterance lengths (amax grows slowly with length as the trunk
-    sees more extreme noise order statistics).  Returns a concrete list
-    per flow: {'trunk': np[NL], 'enc': float}.
-    """
-    cfg = pwn.cfg
-    dtype = pwn.dtype or jnp.float32
-
-    def run(params, mel, rng):
-        B, num_frames, _ = mel.shape
-        length = pwn.sample_length(num_frames)
-        x = pwn.base_noise(rng, B, length)
-
-        shared_enc = None
-        if cfg.use_share_deconv or cfg.use_teacher_deconv:
-            shared_enc, _ = pwn._flow_deconv(params, None, mel, False)
-        iaf_x = jnp.transpose(x)[..., None]
-        out = []
-        for fi in range(pwn.num_flows):
-            fp = params["flows"][fi]
-            enc = shared_enc
-            if enc is None:
-                enc, _ = pwn._flow_deconv(params, fp, mel, False)
-            enc_tm = jnp.transpose(
-                _trim_to(enc, length), (1, 0, 2)
-            ).astype(jnp.float32)
-            sw = flow_kernel_ops.stack_flow_weights(fp)
-            w_start = conv_ops.effective_kernel(fp["start_conv"])
-            L = iaf_x.shape[0]
-            taps = []
-            for k in range(3):
-                delay = 3 - k
-                xd = jnp.concatenate(
-                    [jnp.zeros((delay, iaf_x.shape[1], 1), iaf_x.dtype),
-                     iaf_x[: L - delay]], 0)
-                taps.append(xd * w_start[k, 0][None, None, :])
-            l = taps[0] + taps[1] + taps[2] + fp["start_conv"]["b"]
-            n_layers = cfg.num_iaf_layers[fi]
-            m = cfg.width // 2
-            amaxes = []
-            b_eff = sw["b"] + sw["b_cond"]
-            for li in range(n_layers):
-                d_i = 2 ** (li % cfg.num_stages)
-                amaxes.append(jnp.max(jnp.abs(l)))
-                acc = 0.0
-                for k, delay in ((0, 2 * d_i), (1, d_i), (2, 0)):
-                    xd = jnp.concatenate(
-                        [jnp.zeros((min(delay, L), l.shape[1], cfg.width),
-                                   l.dtype), l[: L - delay]], 0)
-                    acc = acc + jnp.dot(
-                        xd.astype(jnp.bfloat16),
-                        sw["w_tap"][li, k].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                acc = acc + jnp.dot(
-                    enc_tm.astype(jnp.bfloat16),
-                    sw["w_cond"][li].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ) + b_eff[li]
-                gate = jax.nn.sigmoid(acc[..., :m]) * jnp.tanh(acc[..., m:])
-                l = l + jnp.dot(
-                    gate.astype(jnp.bfloat16),
-                    sw["w_res"][li].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ) + sw["b_res"][li]
-            # heads for the next flow's input
-            h = jax.nn.relu(l.astype(dtype))
-            h = _mm_1x1(fp["out1"], h, dtype, dtype)
-            c = _mm_1x1(fp["mel_cond_out1"], enc_tm, dtype, dtype)
-            h = jax.nn.relu(h + c)
-            mean = _mm_1x1(fp["out2_mean"], h, dtype)
-            scale, _ = pwn.scale_log_scale(_mm_1x1(fp["out2_scale"], h, dtype))
-            iaf_x = iaf_x * scale + mean
-            out.append((jnp.stack(amaxes), jnp.max(jnp.abs(enc_tm))))
-        return out
-
-    run_j = jax.jit(run)
-    mel = jnp.asarray(mel)
-    per_seed = [
-        run_j(params, mel, jax.random.fold_in(rng, s) if s else rng)
-        for s in range(max(1, n_seeds))
-    ]
-    out = []
-    for fi in range(len(per_seed[0])):
-        t = np.max([np.asarray(r[fi][0], np.float64) for r in per_seed], axis=0)
-        e = max(float(r[fi][1]) for r in per_seed)
-        out.append({"trunk": t * margin, "enc": e * margin})
-    return out
-
-
 def feed_forward_pallas(
     pwn: ParallelWavenet,
     params,
@@ -300,7 +186,6 @@ def feed_forward_pallas(
     b_tile: int = 8,
     interpret: bool = None,
     compact: bool = None,
-    act_amax=None,
     layers_per_call: int = 0,
     fuse_cond: bool = False,
 ):
@@ -308,14 +193,6 @@ def feed_forward_pallas(
     Pallas kernel.  Same contract: inputs {'mel'} (+ optional 'base_x'),
     returns the ff dict (without new_params — serving never inits).
 
-
-    act_amax: per-flow static activation scales from
-    calibrate_student_act_amax — runs the trunks as **W8A8 int8** (2x MXU
-    throughput, 4x smaller carries); quality-gate on the golden student
-    before serving with it.  The scales are STATIC: a serving noise draw
-    or utterance length far outside what calibration saw can exceed amax
-    and saturate (graceful clip, workload-dependent quality tax) —
-    calibrate over several seeds (n_seeds) and representative lengths.
 
     tile/b_tile: length/batch tiles of the kernel grid.  Defaults are the
     round-4 sweep optimum at the full student ladder (tile 256 beats 128
@@ -375,7 +252,6 @@ def feed_forward_pallas(
         iaf_dict = _iaf_flow_pallas(
             pwn, fp, iaf_x, enc_tm, fi,
             tile=tile, b_tile=b_tile, interpret=interpret, compact=compact,
-            amax=None if act_amax is None else act_amax[fi],
             layers_per_call=layers_per_call, fuse_cond=fuse_cond,
         )
         iaf_x = iaf_dict["x"]

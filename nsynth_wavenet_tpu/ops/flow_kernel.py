@@ -26,10 +26,12 @@ ring: sum(2*d) rows x [B, width] fits VMEM at small batch tiles).
 
 Status: SHIPPED as the student serving path since round 4
 (models/parallelgen.feed_forward_pallas / synthesize_pallas /
-StudentStreamer; 2.2-2.5x the XLA conv path end-to-end —
-benchmarks/RESULTS.md round 4).  Variants: compact (bf16 enc/weights),
-streaming (carried state, any-length serving), W8A8 (opt-in int8,
-act_amax), fuse_taps (experimental).  Parity: interpret-mode pytest
+StudentStreamer; 2.2-2.7x the XLA conv path end-to-end —
+benchmarks/RESULTS.md rounds 4-5).  Variants: compact (bf16 enc/weights),
+streaming (carried state, any-length serving), fuse_taps (shipped).
+Retired after measurement: W8A8 int8, out-head epilogue, fuse_cond-by-
+default, layers_per_call>cycle (all slower — RESULTS.md round 5).
+Parity: interpret-mode pytest
 (tests/test_flow_kernel.py) + compiled hardware gates
 (benchmarks/tpu_kernel_parity.py — interpret mode HID two real Mosaic
 miscompiles, so the hardware gates are the load-bearing ones).
@@ -59,8 +61,6 @@ def make_flow_stack_fn(
     cond_features: int = 0,
     time_major: bool = False,
     streaming: bool = False,
-    act_amax=None,
-    enc_amax: float = None,
     probe: str = None,
     allow_wrong_output: bool = False,
     fuse_taps: bool = False,
@@ -120,19 +120,16 @@ def make_flow_stack_fn(
     tile boundaries, so chaining chunk calls is numerically identical to
     one long call (the kernel does the same per-tile math either way).
 
-    act_amax: [n_layers] CONCRETE per-layer abs-max of the trunk stream
-    (flow-local; see parallelgen.calibrate_flow_act_amax) — switches the
-    kernel to **W8A8 int8** (enc-mode only): every matmul runs int8 on
-    the MXU (2x bf16 throughput) with the AR kernel's v4 static-scale
-    recipe (ops/fastgen_kernel.py): activations quantized once per layer
-    with the static scale 127/amax, carries stored as int8 payloads (4x
-    smaller VMEM), the gate quantized with the fixed 1/127 scale
-    (sigmoid*tanh is bounded in (-1,1), cannot clip), and per-output-
-    column weight scales folded with the activation scale into ONE
-    post-matmul dequant multiply per operand group.  The scales are
-    compile-time constants (concrete numpy), not traced args.  fn then
-    expects enc already int8-quantized with scalar scale enc_scale
-    (fn attribute `quantize_enc` does it).
+    NOTE (round-5 negative result): a W8A8 int8 mode (static per-layer
+    activation scales, int8 MXU dots and carries — the AR kernel's v4
+    recipe) lived here through rounds 4-5.  With every optimization
+    ported (fused K=3W taps, shared dequants) it measured 624.5 vs the
+    bf16 path's 656.0 audio-sec/s/chip at B=32 (0.95x) — the kernel is
+    issue/dependency-bound, not matmul-bound, so int8's 2x MXU rate buys
+    nothing and its quantize/dequant VPU passes cost more than they save.
+    The mode was removed per the one-serving-default rule;
+    benchmarks/RESULTS.md round 5 records the arc.  (The AR serving
+    kernel's W8A8 mode is unrelated and remains shipped.)
 
     probe: PERF ATTRIBUTION ONLY — produces WRONG output, so it also
     requires allow_wrong_output=True (a serving call that accidentally
@@ -174,33 +171,17 @@ def make_flow_stack_fn(
     dils = [2 ** (i % num_stages) for i in range(n_layers)]
     grid = (batch // b_tile, length // tile)
     B, W = b_tile, width
-    quant = act_amax is not None
-    if quant:
-        assert cond_features and enc_amax is not None, (
-            "W8A8 flow kernel is enc-mode only and needs enc_amax"
-        )
-        assert not fuse_taps, (
-            "fuse_taps is bf16-only: the quant branch issues three K=W "
-            "int8 dots whose int32 accumulators share one dequant; "
-            "silently ignoring the flag would misreport an A/B"
-        )
-        assert carry_dtype is None, "quant mode owns the carry dtype (int8)"
-        act_amax = np.maximum(np.asarray(act_amax, np.float64), 1e-8)
-        assert act_amax.shape == (n_layers,), act_amax.shape
-        enc_amax = max(float(enc_amax), 1e-8)
     if fuse_cond:
         # one K = 3W + DW issue per layer: the enc tile joins the fused
         # tap block and the cond weight column-stacks under the tap weight
         # — trades one more VPM assembly copy for one fewer serialized MXU
         # issue (the kernel is issue-bound; same logic as fuse_taps)
-        assert fuse_taps and cond_features and not quant, (
-            "fuse_cond extends the fused-tap block (bf16 enc mode only)"
+        assert fuse_taps and cond_features, (
+            "fuse_cond extends the fused-tap block (enc mode only)"
         )
-    cond_dt = jnp.int8 if quant else (jnp.bfloat16 if compact else jnp.float32)
+    cond_dt = jnp.bfloat16 if compact else jnp.float32
     w_dt = jnp.bfloat16 if compact else jnp.float32
-    cdt = carry_dtype if carry_dtype is not None else (
-        jnp.int8 if quant else jnp.float32
-    )
+    cdt = carry_dtype if carry_dtype is not None else jnp.float32
 
     def kernel(*refs):
         i = 0
@@ -213,11 +194,6 @@ def make_flow_stack_fn(
         wcond_ref = None
         if cond_features:
             wcond_ref = refs[i]; i += 1  # [NL, DW, W]
-        dqtap_ref = dqcond_ref = dqres_ref = None
-        if quant:
-            dqtap_ref = refs[i]; i += 1   # [NL, W] f32 act*weight dequant
-            dqcond_ref = refs[i]; i += 1  # [NL, W] f32
-            dqres_ref = refs[i]; i += 1   # [NL, W] f32
         state_ref = None
         if streaming:
             state_ref = refs[i]; i += 1  # [sum(2d), B, W] f32
@@ -238,128 +214,89 @@ def make_flow_stack_fn(
             for li in range(n_layers):
                 if streaming:
                     st = state_ref[offs[li] : offs[li + 1]]
-                    if quant:
-                        # state keeps the f32 interface; payloads are
-                        # requantized with the layer's static scale — an
-                        # exact round trip (q -> q*s -> round(q*s/s) = q)
-                        st = jnp.clip(
-                            jnp.round(st * (127.0 / act_amax[li])),
-                            -127, 127,
-                        )
                     carries[li][0 : 2 * dils[li]] = st.astype(cdt)
                 else:
                     carries[li][...] = jnp.zeros_like(carries[li])
 
         l = x_ref[...]  # [tile, B, W] f32
-        if quant:
-            enc_q = cond_ref[...].reshape(tile * B, cond_features)  # int8
         for li in range(n_layers):
             d = dils[li]
             buf = carries[li]
-            if quant:
-                # quantize this layer's input ONCE with its static scale;
-                # the quantized tile is both the x0 operand and the carry
-                # payload (history comes back already quantized — same
-                # design as the AR kernel's pre-quantized rings)
-                x0q = jnp.clip(
-                    jnp.round(l * (127.0 / act_amax[li])), -127, 127
-                ).astype(jnp.int8)
-                buf[2 * d : 2 * d + tile] = x0q
-                x2 = buf[0:tile]
-                x1 = buf[d : d + tile]
-                acc32 = jnp.dot(
-                    x2.reshape(tile * B, W), wtap_ref[li, 0],
-                    preferred_element_type=jnp.int32,
+            # place this layer's input tile after its 2d-row history
+            buf[2 * d : 2 * d + tile] = l.astype(cdt)
+            # taps over the concatenated (history ++ tile) stream:
+            # output index j uses rows j (t-2d), j+d (t-d), j+2d (t)
+            x2 = buf[0:tile]
+            x1 = buf[d : d + tile]
+            x0 = l
+            wt = wtap_ref[li]  # [3, W, W]
+            if fuse_taps and fuse_cond:
+                xcat = jnp.concatenate(
+                    [
+                        x2.reshape(tile * B, W),
+                        x1.reshape(tile * B, W),
+                        x0.reshape(tile * B, W),
+                        cond_ref[...]
+                        .reshape(tile * B, cond_features)
+                        .astype(jnp.float32),
+                    ],
+                    axis=1,
+                ).astype(jnp.bfloat16)
+                wcat = jnp.concatenate(
+                    [
+                        wt.reshape(3 * W, W).astype(jnp.bfloat16),
+                        wcond_ref[li].astype(jnp.bfloat16),
+                    ],
+                    axis=0,
                 )
-                acc32 += jnp.dot(
-                    x1.reshape(tile * B, W), wtap_ref[li, 1],
-                    preferred_element_type=jnp.int32,
+                acc = jnp.dot(
+                    xcat, wcat, preferred_element_type=jnp.float32
                 )
-                acc32 += jnp.dot(
-                    x0q.reshape(tile * B, W), wtap_ref[li, 2],
-                    preferred_element_type=jnp.int32,
+            elif fuse_taps:
+                xcat = jnp.concatenate(
+                    [
+                        x2.reshape(tile * B, W),
+                        x1.reshape(tile * B, W),
+                        x0.reshape(tile * B, W),
+                    ],
+                    axis=1,
+                ).astype(jnp.bfloat16)
+                acc = jnp.dot(
+                    xcat,
+                    wt.reshape(3 * W, W).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
                 )
-                acc = acc32.astype(jnp.float32) * dqtap_ref[li][None, :]
+            else:
+                acc = jnp.dot(
+                    x2.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
                 acc += jnp.dot(
-                    enc_q, wcond_ref[li], preferred_element_type=jnp.int32
-                ).astype(jnp.float32) * dqcond_ref[li][None, :]
+                    x1.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[1].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += jnp.dot(
+                    x0.reshape(tile * B, W).astype(jnp.bfloat16),
+                    wt[2].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            if fuse_cond:
+                cond_li = 0.0  # folded into the fused tap matmul
+            elif cond_features:
+                # bf16 only in compact mode — non-compact keeps the
+                # cond projection f32, matching stream-mode precision
+                mm_dt = jnp.bfloat16 if compact else jnp.float32
+                acc += jnp.dot(
+                    cond_ref[...].reshape(tile * B, cond_features)
+                    .astype(mm_dt),
+                    wcond_ref[li].astype(mm_dt),
+                    preferred_element_type=jnp.float32,
+                )
                 cond_li = 0.0
             else:
-                # place this layer's input tile after its 2d-row history
-                buf[2 * d : 2 * d + tile] = l.astype(cdt)
-                # taps over the concatenated (history ++ tile) stream:
-                # output index j uses rows j (t-2d), j+d (t-d), j+2d (t)
-                x2 = buf[0:tile]
-                x1 = buf[d : d + tile]
-                x0 = l
-                wt = wtap_ref[li]  # [3, W, W]
-                if fuse_taps and fuse_cond:
-                    xcat = jnp.concatenate(
-                        [
-                            x2.reshape(tile * B, W),
-                            x1.reshape(tile * B, W),
-                            x0.reshape(tile * B, W),
-                            cond_ref[...]
-                            .reshape(tile * B, cond_features)
-                            .astype(jnp.float32),
-                        ],
-                        axis=1,
-                    ).astype(jnp.bfloat16)
-                    wcat = jnp.concatenate(
-                        [
-                            wt.reshape(3 * W, W).astype(jnp.bfloat16),
-                            wcond_ref[li].astype(jnp.bfloat16),
-                        ],
-                        axis=0,
-                    )
-                    acc = jnp.dot(
-                        xcat, wcat, preferred_element_type=jnp.float32
-                    )
-                elif fuse_taps:
-                    xcat = jnp.concatenate(
-                        [
-                            x2.reshape(tile * B, W),
-                            x1.reshape(tile * B, W),
-                            x0.reshape(tile * B, W),
-                        ],
-                        axis=1,
-                    ).astype(jnp.bfloat16)
-                    acc = jnp.dot(
-                        xcat,
-                        wt.reshape(3 * W, W).astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    acc = jnp.dot(
-                        x2.reshape(tile * B, W).astype(jnp.bfloat16),
-                        wt[0].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc += jnp.dot(
-                        x1.reshape(tile * B, W).astype(jnp.bfloat16),
-                        wt[1].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc += jnp.dot(
-                        x0.reshape(tile * B, W).astype(jnp.bfloat16),
-                        wt[2].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                if fuse_cond:
-                    cond_li = 0.0  # folded into the fused tap matmul
-                elif cond_features:
-                    # bf16 only in compact mode — non-compact keeps the
-                    # cond projection f32, matching stream-mode precision
-                    mm_dt = jnp.bfloat16 if compact else jnp.float32
-                    acc += jnp.dot(
-                        cond_ref[...].reshape(tile * B, cond_features)
-                        .astype(mm_dt),
-                        wcond_ref[li].astype(mm_dt),
-                        preferred_element_type=jnp.float32,
-                    )
-                    cond_li = 0.0
-                else:
-                    cond_li = cond_ref[:, li]
+                cond_li = cond_ref[:, li]
             d_pre = (
                 acc.reshape(tile, B, W)
                 + cond_li
@@ -373,23 +310,11 @@ def make_flow_stack_fn(
                 gate = jax.nn.sigmoid(d_pre[:, :, :m]) * jnp.tanh(
                     d_pre[:, :, m:]
                 )
-            if quant:
-                # |gate| < 1 so the fixed 1/127 scale cannot clip (the AR
-                # kernel's gate_static recipe)
-                gq = jnp.round(gate.reshape(tile * B, m) * 127.0).astype(
-                    jnp.int8
-                )
-                res = jnp.dot(
-                    gq, wres_ref[li], preferred_element_type=jnp.int32
-                ).astype(jnp.float32).reshape(tile, B, W) * dqres_ref[li][
-                    None, None, :
-                ] + bres_ref[li][None, None, :]
-            else:
-                res = jnp.dot(
-                    gate.reshape(tile * B, m).astype(jnp.bfloat16),
-                    wres_ref[li].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ).reshape(tile, B, W) + bres_ref[li][None, None, :]
+            res = jnp.dot(
+                gate.reshape(tile * B, m).astype(jnp.bfloat16),
+                wres_ref[li].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(tile, B, W) + bres_ref[li][None, None, :]
             # slide the carry window BEFORE overwriting l (reads buf tail).
             # When 2d > tile the source and destination ranges OVERLAP —
             # interpret mode materializes the read first, but compiled
@@ -407,10 +332,9 @@ def make_flow_stack_fn(
                 # post-slide rows 0:2d ARE the history the next chunk needs
                 @pl.when(t0 == length // tile - 1)
                 def _export(li=li, d=d, buf=buf):
-                    h = buf[0 : 2 * d].astype(jnp.float32)
-                    if quant:
-                        h = h * (act_amax[li] / 127.0)
-                    state_out_ref[offs[li] : offs[li + 1]] = h
+                    state_out_ref[offs[li] : offs[li + 1]] = (
+                        buf[0 : 2 * d].astype(jnp.float32)
+                    )
             l = l + res
         out_ref[...] = l
 
@@ -430,9 +354,6 @@ def make_flow_stack_fn(
         in_specs.append(
             pl.BlockSpec((n_layers, cond_features, W), lambda bi, t: (0, 0, 0))
         )
-    if quant:
-        for _ in range(3):  # dq_tap, dq_cond, dq_res
-            in_specs.append(pl.BlockSpec((n_layers, W), lambda bi, t: (0, 0)))
     sum2d = int(sum(2 * d for d in dils))
     if streaming:
         in_specs.append(
@@ -478,14 +399,7 @@ def make_flow_stack_fn(
         # tile-aligned; in enc mode cond is the raw encoding [B, L, DW] ->
         # [L, B, DW] and w_cond [NL, DW, W] rides along
         if time_major:
-            if quant:
-                assert cond.dtype == jnp.int8, (
-                    "quant mode needs the enc pre-quantized — use "
-                    "fn.quantize_enc"
-                )
-                xt, ct = x, cond
-            else:
-                xt, ct = x, cond.astype(cond_dt)
+            xt, ct = x, cond.astype(cond_dt)
             assert cond_features or n_layers == 1, (
                 "time_major stream mode would need [L, NL, B, W] cond"
             )
@@ -498,42 +412,6 @@ def make_flow_stack_fn(
                 ct = jnp.transpose(
                     cond.reshape(Bf, Lc, n_layers, W), (1, 2, 0, 3)
                 ).astype(cond_dt)
-        if quant:
-            # per-(layer, out-col) weight scales, shared across the 3 taps
-            # so their int32 accumulators sum before ONE dequant multiply;
-            # activation scales fold in (static, compile-time constants)
-            s_tap = jnp.maximum(
-                jnp.max(jnp.abs(w_tap), axis=(1, 2)), 1e-12
-            )  # [NL, W]
-            s_cond = jnp.maximum(jnp.max(jnp.abs(w_cond), axis=1), 1e-12)
-            s_res = jnp.maximum(jnp.max(jnp.abs(w_res), axis=1), 1e-12)
-            wtap_q = jnp.clip(
-                jnp.round(w_tap * (127.0 / s_tap[:, None, None, :])),
-                -127, 127,
-            ).astype(jnp.int8)
-            wcond_q = jnp.clip(
-                jnp.round(w_cond * (127.0 / s_cond[:, None, :])), -127, 127
-            ).astype(jnp.int8)
-            wres_q = jnp.clip(
-                jnp.round(w_res * (127.0 / s_res[:, None, :])), -127, 127
-            ).astype(jnp.int8)
-            amax_col = jnp.asarray(act_amax, jnp.float32)[:, None]
-            dq_tap = s_tap * (amax_col / (127.0 * 127.0))
-            dq_cond = s_cond * (enc_amax / (127.0 * 127.0))
-            dq_res = s_res * (1.0 / (127.0 * 127.0))
-            extra = (wcond_q, dq_tap, dq_cond, dq_res)
-            if streaming:
-                assert state is not None, "streaming mode needs the state"
-                extra = extra + (state.astype(jnp.float32),)
-            out = call(xt, ct, wtap_q, b.astype(jnp.float32),
-                       wres_q, b_res.astype(jnp.float32), *extra)
-            if streaming:
-                out, new_state = out
-                return (
-                    out if time_major else jnp.transpose(out, (1, 0, 2)),
-                    new_state,
-                )
-            return out if time_major else jnp.transpose(out, (1, 0, 2))
         if cond_features:
             assert w_cond is not None
             extra = (w_cond.astype(w_dt),)
@@ -553,16 +431,6 @@ def make_flow_stack_fn(
         return out if time_major else jnp.transpose(out, (1, 0, 2))
 
     fn.state_rows = sum2d
-    if quant:
-        def quantize_enc(enc):
-            """f32/bf16 encoding -> int8 with the calibrated static scale
-            (compute once per utterance and share across stack calls)."""
-            return jnp.clip(
-                jnp.round(enc.astype(jnp.float32) * (127.0 / enc_amax)),
-                -127, 127,
-            ).astype(jnp.int8)
-
-        fn.quantize_enc = quantize_enc
     return fn
 
 

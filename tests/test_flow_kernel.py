@@ -229,113 +229,3 @@ def test_flow_stack_streaming_matches_oneshot_bitwise():
                        w_tap, b, w_res, b_res, w_cond, state)
         outs.append(np.asarray(o))
     np.testing.assert_array_equal(np.concatenate(outs, 0), want)
-
-
-def test_student_streamer_matches_oneshot():
-    """StudentStreamer on pinned base noise reproduces the one-shot fused
-    path (bf16-enc tolerance: the bucketed any-length deconv rounds
-    differently than the fixed-shape stack), and ONE compiled chunk
-    program serves multiple utterance lengths."""
-    from nsynth_wavenet_tpu.models import parallelgen
-
-    pwn, params = _student(share=True, compute_dtype="bfloat16", width=64)
-    mel = _mel(length=2560)
-    B = mel.shape[0]
-    L = pwn.sample_length(mel.shape[1])
-    x = pwn.base_noise(jax.random.PRNGKey(3), B, L)
-
-    ff = parallelgen.feed_forward_pallas(
-        pwn, params, {"mel": mel, "base_x": x}, tile=64, b_tile=8,
-        interpret=True,
-    )
-    oneshot = np.asarray(pwn._clip_quant_scale(ff["x"]))
-
-    st = parallelgen.StudentStreamer(pwn, chunk=512, tile=64, b_tile=8,
-                                     interpret=True)
-    got = st.synthesize(params, mel, base_x=np.asarray(x))
-    assert got.shape == oneshot.shape
-    assert np.corrcoef(got.ravel(), oneshot.ravel())[0, 1] > 0.9999
-    np.testing.assert_allclose(got, oneshot, atol=5e-3, rtol=0)
-
-    # different lengths reuse the SAME compiled chunk program (one entry
-    # for the pinned-noise variant, one for the in-program-noise variant;
-    # a further new length adds nothing)
-    mel2 = _mel(length=2048, seed=1)
-    a2 = st.synthesize(params, mel2, rng=jax.random.PRNGKey(7))
-    assert a2.shape == (B, pwn.sample_length(mel2.shape[1]))
-    assert np.isfinite(a2).all() and np.abs(a2).std() > 0
-    n_fns = len(st._chunk_fn_cache)
-    a3 = st.synthesize(params, mel, rng=jax.random.PRNGKey(8))
-    assert a3.shape == oneshot.shape
-    assert len(st._chunk_fn_cache) == n_fns == 2
-
-
-def test_flow_stack_w8a8_quant():
-    """W8A8 mode (static act scales, int8 carries, in-kernel cond) must
-    track the f32 kernel within int8 tolerance, and quant streaming must
-    be bitwise-identical to quant one-shot (int8 payload round trip
-    through the f32 state interface is exact)."""
-    n_layers, num_stages, tile, L, B, W, DW = 5, 5, 16, 128, 8, 64, 128
-    rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(B, L, W).astype(np.float32) * 0.3)
-    enc = jnp.asarray(rng.randn(B, L, DW).astype(np.float32) * 0.2)
-    w_cond = jnp.asarray(rng.randn(n_layers, DW, W).astype(np.float32) * 0.05)
-    w_tap = jnp.asarray(rng.randn(n_layers, 3, W, W).astype(np.float32) * 0.1)
-    b = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
-    w_res = jnp.asarray(rng.randn(n_layers, W // 2, W).astype(np.float32) * 0.1)
-    b_res = jnp.asarray(rng.randn(n_layers, W).astype(np.float32) * 0.05)
-    xt, et = jnp.transpose(x, (1, 0, 2)), jnp.transpose(enc, (1, 0, 2))
-    kw = dict(tile=tile, interpret=True, cond_features=DW, time_major=True)
-    want = np.asarray(
-        fk.make_flow_stack_fn(n_layers, num_stages, W, B, L, **kw)(
-            xt, et, w_tap, b, w_res, b_res, w_cond
-        )
-    )
-    amax = np.full(n_layers, float(np.abs(want).max()) * 1.2 + 1.0)
-    enc_amax = float(np.abs(enc).max())
-    qfn = fk.make_flow_stack_fn(
-        n_layers, num_stages, W, B, L, act_amax=amax, enc_amax=enc_amax, **kw
-    )
-    enc_q = qfn.quantize_enc(et)
-    got = np.asarray(qfn(xt, enc_q, w_tap, b, w_res, b_res, w_cond))
-    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
-    assert rel < 0.05, rel
-
-    C = 32
-    sfn = fk.make_flow_stack_fn(
-        n_layers, num_stages, W, B, C, act_amax=amax, enc_amax=enc_amax,
-        streaming=True, **kw
-    )
-    state = jnp.zeros((sfn.state_rows, B, W), jnp.float32)
-    outs = []
-    for ci in range(L // C):
-        o, state = sfn(xt[ci * C : (ci + 1) * C],
-                       enc_q[ci * C : (ci + 1) * C],
-                       w_tap, b, w_res, b_res, w_cond, state)
-        outs.append(np.asarray(o))
-    np.testing.assert_array_equal(np.concatenate(outs, 0), got)
-
-
-def test_student_w8a8_serving_quality():
-    """Calibrated W8A8 student serving (feed_forward_pallas act_amax) must
-    match the bf16 fused path on the SAME base noise within int8
-    tolerance — and on the golden student (separate test file) the
-    tracking gate covers trained weights."""
-    from nsynth_wavenet_tpu.models import parallelgen
-
-    pwn, params = _student(share=True, compute_dtype="bfloat16", width=64)
-    mel = _mel()
-    B = mel.shape[0]
-    L = pwn.sample_length(mel.shape[1])
-    x = pwn.base_noise(jax.random.PRNGKey(3), B, L)
-    amax = parallelgen.calibrate_student_act_amax(
-        pwn, params, mel, jax.random.PRNGKey(4))
-    assert len(amax) == pwn.num_flows
-    bf = np.asarray(parallelgen.feed_forward_pallas(
-        pwn, params, {"mel": mel, "base_x": x}, interpret=True)["x"])
-    q = np.asarray(parallelgen.feed_forward_pallas(
-        pwn, params, {"mel": mel, "base_x": x}, interpret=True,
-        act_amax=amax)["x"])
-    assert np.isfinite(q).all()
-    scale = max(np.abs(bf).max(), 1e-3)
-    assert np.abs(q - bf).max() < 0.05 * scale

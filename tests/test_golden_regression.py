@@ -167,25 +167,3 @@ def test_golden_student_pallas_and_streaming_match_xla():
                                      interpret=True)
     strm = st.synthesize(params, mels, base_x=np.asarray(x))
     assert np.corrcoef(pal.ravel(), strm.ravel())[0, 1] > 0.999
-
-
-def test_golden_student_w8a8_tracks_conditioning():
-    """Calibrated W8A8 (int8 MXU) student serving must keep the tracking
-    quality of the bf16 fused path on TRAINED weights — the static-scale
-    quantization gate for the student (the AR kernel's int8 gate analog)."""
-    from nsynth_wavenet_tpu.models import parallelgen
-    from tools.quality_smoke import mel_track_corr
-
-    pwn, params, meta = _student_golden()
-    mels, _ = eval_mels(n=4)
-    mels = jnp.asarray(mels)
-    rng = jax.random.PRNGKey(7)
-    amax = parallelgen.calibrate_student_act_amax(pwn, params, mels, rng)
-    audio = np.asarray(pwn._clip_quant_scale(parallelgen.feed_forward_pallas(
-        pwn, params, {"mel": mels}, rng, interpret=True, act_amax=amax
-    )["x"]))
-    assert np.isfinite(audio).all()
-    m_corr, mm_corr = mel_track_corr(audio, np.asarray(mels),
-                                     meta["gen_samples"])
-    assert m_corr > mm_corr + 0.05
-    assert m_corr > meta["matched_corr"] - 0.15, (m_corr, meta["matched_corr"])
