@@ -164,7 +164,7 @@ def check_golden_freerun():
     sampler; a tonal random-weight parity check cannot see them.  Skipped
     when no artifact is present."""
     from tools.make_golden_ckpt import available_heads, eval_mels, load_golden
-    from tools.quality_smoke import mel_track_corr
+    from tools.quality_smoke import mel_track_metrics
 
     heads = available_heads()
     if not heads:
@@ -198,16 +198,22 @@ def check_golden_freerun():
                     )
                 )(params, jnp.asarray(mels))
             )
-            m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
+            mt = mel_track_metrics(audio, mels, meta["gen_samples"])
+            m_corr, mm_corr = mt["corr"]
+            # spectral gate (round-5): matched must also be spectrally
+            # closer (MCD) than mismatched — correlation alone can miss
+            # spectral artifacts the reference's audible baselines catch
             good = (
                 m_corr > mm_corr + 0.05
                 and m_corr > meta["matched_corr"] - 0.15
                 and m_corr > head_min[head]
+                and mt["mcd"][0] < mt["mcd"][1]
             )
             print(
                 f"golden_freerun[{head}/{name}]: matched {m_corr:.3f} "
                 f"(committed {meta['matched_corr']:.3f}, floor "
-                f"{head_min[head]:.2f}) vs mismatched {mm_corr:.3f} "
+                f"{head_min[head]:.2f}) vs mismatched {mm_corr:.3f}; "
+                f"mcd {mt['mcd'][0]:.1f} vs {mt['mcd'][1]:.1f} dB "
                 f"-> {'ok' if good else 'FAIL'}"
             )
             ok &= good
@@ -221,7 +227,7 @@ def check_golden_student():
     twin of check_golden_freerun (sampler/flow-composition bugs on peaked
     trained scales that random-weight parity misses)."""
     from tools.make_golden_ckpt import eval_mels, load_golden, student_available
-    from tools.quality_smoke import mel_track_corr
+    from tools.quality_smoke import mel_track_metrics
     from nsynth_wavenet_tpu.models import parallelgen
 
     if not student_available():
@@ -238,13 +244,16 @@ def check_golden_student():
     st = parallelgen.StudentStreamer(pwn, chunk=4096, tile=256)
     audio_s = st.synthesize(params, mels, rng=jax.random.PRNGKey(7))
     for name, a in (("pallas", audio), ("streaming", audio_s)):
-        m_corr, mm_corr = mel_track_corr(a, mels, meta["gen_samples"])
+        mt = mel_track_metrics(a, mels, meta["gen_samples"])
+        m_corr, mm_corr = mt["corr"]
         good = (
             m_corr > mm_corr + 0.05 and m_corr > meta["matched_corr"] - 0.15
+            and mt["mcd"][0] < mt["mcd"][1]
         )
         print(f"golden_student[{name}]: matched {m_corr:.3f} "
               f"(committed {meta['matched_corr']:.3f}) vs mismatched "
-              f"{mm_corr:.3f} -> {'ok' if good else 'FAIL'}")
+              f"{mm_corr:.3f}; mcd {mt['mcd'][0]:.1f} vs "
+              f"{mt['mcd'][1]:.1f} dB -> {'ok' if good else 'FAIL'}")
         ok &= good
     return ok
 

@@ -47,7 +47,7 @@ def golden(head):
 @pytest.mark.parametrize("head", HEADS)
 def test_golden_freerun_tracks_conditioning(head):
     from nsynth_wavenet_tpu.models.fastgen import Fastgen
-    from tools.quality_smoke import mel_track_corr
+    from tools.quality_smoke import mel_track_metrics
 
     model, params, meta = golden(head)
     n_gen = 8000  # 0.5 s x 2 utts keeps the CPU scan under a minute
@@ -58,11 +58,14 @@ def test_golden_freerun_tracks_conditioning(head):
         jax.jit(lambda p, m: fg.generate(p, m, jax.random.PRNGKey(7)))(params, mels)
     )
     assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
-    m_corr, mm_corr = mel_track_corr(audio, mels, n_gen)
+    mt = mel_track_metrics(audio, mels, n_gen)
+    m_corr, mm_corr = mt["corr"]
     # thresholds relative to the committed TPU measurement (12000 samples,
     # 4 utts); the shorter CPU run sits close but not identical
     assert m_corr > mm_corr + 0.05, (m_corr, mm_corr)
     assert m_corr > meta["matched_corr"] - 0.2, (m_corr, meta["matched_corr"])
+    # spectral gate (round-5): matched must be spectrally closer too
+    assert mt["mcd"][0] < mt["mcd"][1], mt["mcd"]
 
 
 @pytest.mark.parametrize("head", HEADS)
@@ -132,7 +135,7 @@ def test_golden_student_oneshot_tracks_conditioning():
     held-out conditioning mels — the whole IAF flow composition + sampler
     on trained weights (the student twin of the teacher free-run gate)."""
     from nsynth_wavenet_tpu.models import parallelgen
-    from tools.quality_smoke import mel_track_corr
+    from tools.quality_smoke import mel_track_metrics
 
     pwn, params, meta = _student_golden()
     mels, _ = eval_mels(n=4)
@@ -140,9 +143,11 @@ def test_golden_student_oneshot_tracks_conditioning():
         lambda p, m: parallelgen.synthesize(pwn, p, m, jax.random.PRNGKey(7))
     )(params, jnp.asarray(mels)))
     assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
-    m_corr, mm_corr = mel_track_corr(audio, mels, meta["gen_samples"])
+    mt = mel_track_metrics(audio, mels, meta["gen_samples"])
+    m_corr, mm_corr = mt["corr"]
     assert m_corr > mm_corr + 0.05
     assert m_corr > meta["matched_corr"] - 0.15, (m_corr, meta["matched_corr"])
+    assert mt["mcd"][0] < mt["mcd"][1], mt["mcd"]
 
 
 def test_golden_student_pallas_and_streaming_match_xla():

@@ -116,3 +116,26 @@ def test_mel_track_corr(tmp_path):
     assert m > 0.95 and m > mm + 0.2
     for i in range(3):
         assert os.path.exists(os.path.join(str(tmp_path), f"g_{i}.wav"))
+
+
+def test_mel_track_spectral_metrics():
+    """The spectral metrics (RMS mel distance, MCD) must be ~0 for
+    self-comparison, strictly ordered matched < mismatched, and the MCD
+    must be invariant to a constant gain shift confined to coefficient 0
+    (energy), which MCD excludes by construction."""
+    from nsynth_wavenet_tpu.ops import stft
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wavs = np.stack(
+        [0.4 * np.sin(2 * np.pi * f0 * t) for f0 in (150.0, 420.0, 1100.0)]
+    ).astype(np.float32)
+    mels = stft.melspectrogram_np(wavs)
+    mt = qs.mel_track_metrics(wavs, mels, sr)
+    for metric in ("msd", "mcd"):
+        matched, mismatched = mt[metric]
+        assert matched < 0.25 * mismatched, (metric, matched, mismatched)
+    # self-MCD is exactly 0; a flat dB offset moves only coefficient 0
+    a = np.asarray(mels[0])
+    assert qs._mcd(a, a) == 0.0
+    assert qs._mcd(a, a + 0.07) < 1e-2  # fp noise only, vs tens of dB mismatched

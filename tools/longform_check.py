@@ -91,6 +91,9 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
     L = min(audio.shape[1], wavs.shape[1])
     n_win = L // sr
     win_corr = np.zeros((len(wavs), n_win))
+    win_mcd = np.zeros((len(wavs), n_win))
+    from tools.quality_smoke import _mcd
+
     for i in range(len(wavs)):
         write_wav(os.path.join(out_dir, f"longform_{weight_dtype}_{i}.wav"), audio[i])
         for w in range(n_win):
@@ -99,16 +102,26 @@ def main(ckpt_dir, seconds, chunk, weight_dtype, out_dir):
             n = gen_mel.shape[0]
             ref_mel = stft.melspectrogram_np(wavs[i, w * sr : (w + 1) * sr])[:n]
             win_corr[i, w] = np.corrcoef(gen_mel.ravel(), ref_mel.ravel())[0, 1]
+            win_mcd[i, w] = _mcd(gen_mel, ref_mel)
 
     per_win = win_corr.mean(axis=0)
+    per_win_mcd = win_mcd.mean(axis=0)
     print("per-window matched mel corr:",
           " ".join(f"{c:.3f}" for c in per_win))
+    print("per-window MCD (dB):       ",
+          " ".join(f"{c:.1f}" for c in per_win_mcd))
     early = float(per_win[: max(n_win // 3, 1)].mean())
     late = float(per_win[-max(n_win // 3, 1):].mean())
+    mcd_early = float(per_win_mcd[: max(n_win // 3, 1)].mean())
+    mcd_late = float(per_win_mcd[-max(n_win // 3, 1):].mean())
     # late windows must keep tracking: no collapse (absolute floor) and no
-    # substantial decay vs the start of the utterance
-    ok = late > 0.3 and late > early - 0.15
-    print(f"early {early:.3f} late {late:.3f} -> "
+    # substantial decay vs the start of the utterance — on BOTH the
+    # correlation and the spectral (MCD) axis (round-5: correlation alone
+    # can miss spectral artifacts that grow over a long stream)
+    ok = (late > 0.3 and late > early - 0.15
+          and mcd_late < mcd_early * 1.25)
+    print(f"early {early:.3f} late {late:.3f}; "
+          f"mcd early {mcd_early:.1f} late {mcd_late:.1f} dB -> "
           f"{'PASS' if ok else 'FAIL'} ({weight_dtype}, {seconds}s, chunk {chunk})")
     return 0 if ok else 1
 

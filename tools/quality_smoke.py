@@ -265,27 +265,67 @@ def main_real(steps, out_dir):
     return 0 if passed else 1
 
 
-def mel_track_corr(audio, mels, n_samples, out_dir=None, wav_prefix=None):
-    """Matched-vs-mismatched conditioning-tracking correlation.
+def _mcd(mel_a, mel_b, n_coef: int = 13):
+    """Mel-cepstral distortion (dB) between two normalized-dB mel
+    spectrograms [T, num_mel] (stft.melspectrogram convention:
+    norm = (dB + 100) / 100, so dB = norm * 100 - 100).  Standard MCD:
+    (10 / ln 10) * sqrt(2 * sum_{k=1..K-1} (c_a[k] - c_b[k])^2) averaged
+    over frames, cepstra via a DCT-II over the mel-bin axis, coefficient
+    0 (energy) excluded."""
+    from scipy.fftpack import dct
 
-    For each generated clip audio[i] (first n_samples samples), correlates
+    ca = dct(mel_a * 100.0, type=2, axis=-1, norm="ortho")[:, 1:n_coef]
+    cb = dct(mel_b * 100.0, type=2, axis=-1, norm="ortho")[:, 1:n_coef]
+    d = np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=-1))
+    return float((10.0 / np.log(10.0)) * np.mean(d))
+
+
+def mel_track_metrics(audio, mels, n_samples, out_dir=None, wav_prefix=None):
+    """Matched-vs-mismatched conditioning-tracking metrics.
+
+    For each generated clip audio[i] (first n_samples samples), compares
     its mel against every conditioning mel mels[j]: i == j entries are
-    'matched', the rest 'mismatched'.  Returns (matched_mean,
-    mismatched_mean).  Optionally writes the clips as
-    {out_dir}/{wav_prefix}_{i}.wav."""
+    'matched', the rest 'mismatched'.  Three metric families (round-5
+    VERDICT #9: correlation alone can miss spectral artifacts the
+    reference's audible-wav baselines would catch by ear):
+
+      corr — Pearson correlation of the flattened mels (the original gate)
+      msd  — RMS distance in normalized-dB mel units (lower = closer)
+      mcd  — mel-cepstral distortion in dB, DCT coefs 1-12 (lower =
+             closer; the standard objective vocoder-quality metric)
+
+    Returns a dict {metric: (matched_mean, mismatched_mean)}.  Optionally
+    writes the clips as {out_dir}/{wav_prefix}_{i}.wav."""
     from nsynth_wavenet_tpu.data.dataset import write_wav
     from nsynth_wavenet_tpu.ops import stft
 
-    matched, mismatched = [], []
+    vals = {m: ([], []) for m in ("corr", "msd", "mcd")}
     for i in range(len(mels)):
         if out_dir is not None:
             write_wav(os.path.join(out_dir, f"{wav_prefix}_{i}.wav"), audio[i])
         gen_mel = stft.melspectrogram_np(np.asarray(audio[i])[:n_samples])
         n = gen_mel.shape[0]
         for j in range(len(mels)):
-            c = float(np.corrcoef(gen_mel.ravel(), mels[j, :n].ravel())[0, 1])
-            (matched if i == j else mismatched).append(c)
-    return float(np.mean(matched)), float(np.mean(mismatched))
+            ref = np.asarray(mels[j, :n])
+            k = 0 if i == j else 1
+            vals["corr"][k].append(
+                float(np.corrcoef(gen_mel.ravel(), ref.ravel())[0, 1])
+            )
+            vals["msd"][k].append(
+                float(np.sqrt(np.mean((gen_mel - ref) ** 2)))
+            )
+            vals["mcd"][k].append(_mcd(gen_mel, ref))
+    return {
+        m: (float(np.mean(a)), float(np.mean(b)))
+        for m, (a, b) in vals.items()
+    }
+
+
+def mel_track_corr(audio, mels, n_samples, out_dir=None, wav_prefix=None):
+    """Correlation-only view of mel_track_metrics (the original gate)."""
+    m = mel_track_metrics(audio, mels, n_samples, out_dir=out_dir,
+                          wav_prefix=wav_prefix)
+    return m["corr"]
 
 
 def dominant_freq(wav, sr=16000):
@@ -414,15 +454,19 @@ def main(steps, out_dir, corpus="tones", head="ce", n_utts=24):
         # with clearly-tracking free-run audio shows ~0.14), so for them the
         # gap gate is a looser sanity floor and the tracking gate decides
         gap_thresh = 0.15 if head == "ce" else 0.05
-        m_corr, mm_corr = mel_track_corr(
+        mt = mel_track_metrics(
             audio, mel, len(t), out_dir=out_dir, wav_prefix="gen_speech"
         )
+        m_corr, mm_corr = mt["corr"]
         cond_ok = cond_gap > gap_thresh
-        track_ok = m_corr > mm_corr + 0.05
+        track_ok = (m_corr > mm_corr + 0.05
+                    and mt["msd"][0] < mt["msd"][1]
+                    and mt["mcd"][0] < mt["mcd"][1])
         print(f"cond gap (shuffled-mel TF loss {tf_mis:.3f} - matched) "
               f"{cond_gap:.3f} -> {cond_ok}")
         print(f"free-run mel corr matched {m_corr:.3f} vs mismatched "
-              f"{mm_corr:.3f} -> {track_ok}")
+              f"{mm_corr:.3f}; msd {mt['msd'][0]:.3f} vs {mt['msd'][1]:.3f}; "
+              f"mcd {mt['mcd'][0]:.1f} vs {mt['mcd'][1]:.1f} dB -> {track_ok}")
         passed = loss_ok and tf_ok and cond_ok and track_ok
 
         if COMPARE_PALLAS:
@@ -679,12 +723,20 @@ def main_student(steps, out_dir, corpus, pairing="gauss", n_utts=24):
     amp_ok = np.isfinite(audio).all() and 0.01 < std < 1.0
     print(f"student free-run std {std:.4f} -> {amp_ok}")
 
-    m_corr, mm_corr = mel_track_corr(
+    mt = mel_track_metrics(
         audio, mel, sr, out_dir=out_dir, wav_prefix="gen_student"
     )
+    m_corr, mm_corr = mt["corr"]
     if corpus == "speech":
         track_ok = m_corr > mm_corr + 0.05
-        print(f"student mel corr matched {m_corr:.3f} vs mismatched {mm_corr:.3f} "
+        # spectral gates (round-5): matched must be spectrally CLOSER than
+        # mismatched on both RMS mel distance and mel-cepstral distortion —
+        # correlation alone can miss spectral artifacts
+        spec_ok = (mt["msd"][0] < mt["msd"][1]) and (mt["mcd"][0] < mt["mcd"][1])
+        track_ok = track_ok and spec_ok
+        print(f"student mel corr matched {m_corr:.3f} vs mismatched {mm_corr:.3f}; "
+              f"msd {mt['msd'][0]:.3f} vs {mt['msd'][1]:.3f}; "
+              f"mcd {mt['mcd'][0]:.1f} vs {mt['mcd'][1]:.1f} dB "
               f"-> {track_ok}")
     else:
         track_ok = m_corr > 0.4
