@@ -37,8 +37,6 @@ Parity: interpret-mode pytest
 miscompiles, so the hardware gates are the load-bearing ones).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

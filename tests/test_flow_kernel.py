@@ -180,6 +180,40 @@ def test_feed_forward_pallas_matches_xla(share, compute_dtype):
     assert np.asarray(got["scale_tot"]).min() > 0
 
 
+def test_opt_in_kernel_variants_match_default():
+    """fuse_cond and layers_per_call are kept as opt-in flags after the
+    round-5 perf A/Bs (both slower at the full shape — RESULTS.md round 5);
+    their MATH must stay identical to the default path: layers_per_call is
+    bit-identical (same ops, fewer calls), fuse_cond within bf16-concat
+    tolerance."""
+    from nsynth_wavenet_tpu.models import parallelgen
+
+    pwn, params = _student(compute_dtype="float32")
+    mel = _mel()
+    B = mel.shape[0]
+    L = pwn.sample_length(mel.shape[1])
+    x = pwn.base_noise(jax.random.PRNGKey(3), B, L)
+    inputs = {"mel": mel, "base_x": x}
+    base = parallelgen.feed_forward_pallas(
+        pwn, params, inputs, b_tile=2, interpret=True
+    )
+    lpc = parallelgen.feed_forward_pallas(
+        pwn, params, inputs, b_tile=2, interpret=True,
+        layers_per_call=max(pwn.cfg.num_iaf_layers),
+    )
+    fc = parallelgen.feed_forward_pallas(
+        pwn, params, inputs, b_tile=2, interpret=True, fuse_cond=True
+    )
+    for k in ("x", "mean_tot", "scale_tot", "log_scale_tot"):
+        np.testing.assert_array_equal(
+            np.asarray(base[k]), np.asarray(lpc[k]), err_msg=f"lpc:{k}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(fc[k]), atol=5e-4, rtol=0,
+            err_msg=f"fuse_cond:{k}",
+        )
+
+
 def test_synthesize_pallas_matches_xla_audio():
     """synthesize vs synthesize_pallas agree to one quantization bin on the
     same rng (the f32 composition is bit-close; clip_quant rounding can
