@@ -145,6 +145,17 @@ class ParallelWavenetConfig:
     # reference DETAIL_LOG (parallel_wavenet.py:279-282): per-flow
     # scale/log_scale/mean scalars + the shared/per-flow deconv histograms
     detail_log: bool = False
+    # Gauss (ClariNet) KL teacher-sigma floor: scale_p is clamped to at
+    # least this before the closed-form KL + regularizer.  0.0 = the
+    # reference's exact math (parallel_wavenet.py:404-428), which is
+    # BRITTLE against sharp teachers: a near-deterministic sigma_p blows
+    # up the (mean_p-mean_q)^2/(2 var_p) term and the 4*(dlogsigma)^2
+    # regularizer drags sigma_q into collapse (measured: the symmetric
+    # 100k gauss pairing fails with scale_tot 0.024 -> 0.006 — RESULTS.md
+    # round 5; the reference's own ClariNet sample is a filed failure
+    # case).  ClariNet (Ping et al. 2019) clips log sigma for exactly
+    # this reason.
+    kl_sigma_floor: float = 0.0
     compute_dtype: str = "bfloat16"
     # rematerialize the teacher's scoring forward in the KL backward pass
     # (stores ~30 layers x [B, 7680, 512] of teacher activations otherwise).

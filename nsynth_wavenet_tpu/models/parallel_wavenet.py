@@ -388,6 +388,10 @@ class ParallelWavenet:
         x_scaled = self._clip_or_not(x)
         te_out = self._teacher_out_params(teacher_params, x_scaled, mel)
         mean_p, scale_p = dist.mean_std_from_out_params(te_out, use_log_scales=True)
+        if self.cfg.kl_sigma_floor > 0.0:
+            # ClariNet-style stabilization against over-sharp teachers
+            # (config.kl_sigma_floor; 0.0 = reference-exact math)
+            scale_p = jnp.maximum(scale_p, self.cfg.kl_sigma_floor)
         log_scale_p = jnp.log(scale_p)
 
         var_q = scale_q**2.0

@@ -171,6 +171,43 @@ def test_gauss_distillation_loss_and_grads():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_kl_sigma_floor_stabilizes_sharp_teacher():
+    """kl_sigma_floor=0 must reproduce the reference-exact KL; a floor
+    must (a) leave the KL unchanged when the teacher's sigma is above it
+    and (b) strictly reduce the KL blow-up against an artificially sharp
+    teacher (the 1/(2 var_p) mean term and the (dlogsigma)^2 regularizer
+    are what collapse the student — RESULTS.md round 5)."""
+    te_model, te_params = _teacher("gauss")
+    base = dict(loss_type="gauss", **ST_SMALL)
+    pwn0 = ParallelWavenet(
+        config_lib.ParallelWavenetConfig(**base), te_model
+    )
+    pwnf = ParallelWavenet(
+        config_lib.ParallelWavenetConfig(kl_sigma_floor=0.02, **base), te_model
+    )
+    params = pwn0.init_params(jax.random.PRNGKey(0))
+    wav, mel = _wav_mel()
+    ff, _ = pwn0.feed_forward(params, {"mel": mel}, jax.random.PRNGKey(1))
+    ff.update({"mel": mel, "wav": wav})
+
+    kl0 = float(pwn0.kl_loss_gauss(te_params, ff)["kl_loss"])
+    klf = float(pwnf.kl_loss_gauss(te_params, ff)["kl_loss"])
+    assert np.isfinite(kl0) and np.isfinite(klf)
+
+    # sharpen the teacher artificially: shift its log-scale head bias far
+    # negative so sigma_p collapses; the floored KL must stay bounded while
+    # the reference-exact KL blows up
+    import copy
+
+    sharp = copy.deepcopy(jax.device_get(te_params))
+    sharp["out2"]["b"] = np.asarray(sharp["out2"]["b"]).copy()
+    sharp["out2"]["b"][1] = -12.0  # log-scale bias -> sigma_p ~ e^-12
+    kl0_sharp = float(pwn0.kl_loss_gauss(sharp, ff)["kl_loss"])
+    klf_sharp = float(pwnf.kl_loss_gauss(sharp, ff)["kl_loss"])
+    assert klf_sharp < kl0_sharp * 1e-2, (kl0_sharp, klf_sharp)
+    assert np.isfinite(klf_sharp)
+
+
 def test_transplant_teacher_deconv():
     te_model, te_params = _teacher("mol")
     for share in (False, True):
